@@ -1,0 +1,18 @@
+"""Test harness config: force the CPU platform with a virtual 8-device mesh so
+multi-chip sharding paths are testable without TPU hardware (SURVEY.md §4).
+
+Note: this container's sitecustomize registers the `axon` TPU PJRT plugin and
+the env pins JAX_PLATFORMS=axon, so jax is already imported by interpreter
+start. We therefore switch platforms via jax.config (which works post-import)
+and set XLA_FLAGS before the CPU backend first initializes.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
