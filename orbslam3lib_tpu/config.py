@@ -1,0 +1,159 @@
+"""Typed configuration tree for the whole engine.
+
+Replaces the reference's YAML `Settings` class
+(/root/reference app/src/main/cpp/src/Settings.cc:36-177: versioned typed
+reader with camera1/camera2/Tlr/IMU/ORB/viewer sections) with one dataclass
+tree; `from_yaml` accepts EuRoC/TUM-style ORB-SLAM3 config files (File.version
+1.0 key naming) for drop-in compatibility.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+@dataclass
+class CameraConfig:
+    model: str = "pinhole"            # "pinhole" | "kannala_brandt8"
+    fx: float = 300.0
+    fy: float = 300.0
+    cx: float = 320.0
+    cy: float = 200.0
+    k: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)  # KB8 coeffs
+    width: int = 640
+    height: int = 400
+
+    @property
+    def params(self) -> np.ndarray:
+        if self.model == "pinhole":
+            return np.asarray([self.fx, self.fy, self.cx, self.cy], np.float32)
+        return np.asarray([self.fx, self.fy, self.cx, self.cy, *self.k], np.float32)
+
+    @property
+    def model_id(self) -> int:
+        from .utils import cameras
+        return cameras.PINHOLE if self.model == "pinhole" else cameras.KANNALA_BRANDT
+
+
+@dataclass
+class StereoConfig:
+    baseline: float = 0.11            # meters
+    min_z: float = 0.3                # nearest matchable depth
+    depth_factor: float = 40.0        # close-point threshold = factor*baseline
+                                      # (reference thDepth semantics, Settings)
+
+
+@dataclass
+class ImuConfig:
+    noise_gyro: float = 1.7e-4
+    noise_acc: float = 2.0e-3
+    walk_gyro: float = 1.9e-5
+    walk_acc: float = 3.0e-3
+    freq: float = 200.0
+    # T_bc: IMU-from-camera extrinsic
+    R_bc: Tuple[float, ...] = (1, 0, 0, 0, 1, 0, 0, 0, 1)
+    t_bc: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+
+@dataclass
+class OrbConfig:
+    max_kp: int = 512                 # feature capacity per image
+    n_levels: int = 8
+    target_features: int = 350        # dynamic-threshold controller target
+    threshold_band: int = 60
+    fast_threshold: float = 17.0      # initial (reference legacy 17/17)
+
+
+@dataclass
+class TrackerConfig:
+    min_init_features: int = 500      # stereo init gate (Tracking.cc:2393)
+    match_radius_coarse: float = 7.0  # motion-model search window
+    match_radius_fine: float = 3.0    # local-map refinement window
+    min_inliers: int = 15             # TrackLocalMap accept (visual)
+    max_frames_between_kf: int = 15   # c1a (== fps)
+    min_frames_between_kf: int = 3    # c1b spacing (synchronous mapper)
+    kf_ref_ratio: float = 0.75        # c2 thRefRatio stereo
+    close_tracked_th: int = 100       # c1c nTrackedClose
+    close_untracked_th: int = 70      # c1c nNonTrackedClose
+    pose_rounds: int = 4
+    pose_iters: int = 10
+
+
+@dataclass
+class BAConfig:
+    window_size: int = 8              # optimizable KFs in local BA
+    n_fixed: int = 2                  # fixed anchor KFs
+    max_points: int = 4096            # landmark capacity per local BA solve
+    n_iters: int = 10
+
+
+@dataclass
+class MapConfig:
+    max_kf: int = 256
+    max_mp: int = 16384
+
+
+@dataclass
+class SlamConfig:
+    camera: CameraConfig = field(default_factory=CameraConfig)
+    stereo: StereoConfig = field(default_factory=StereoConfig)
+    imu: ImuConfig = field(default_factory=ImuConfig)
+    orb: OrbConfig = field(default_factory=OrbConfig)
+    tracker: TrackerConfig = field(default_factory=TrackerConfig)
+    ba: BAConfig = field(default_factory=BAConfig)
+    map: MapConfig = field(default_factory=MapConfig)
+    use_imu: bool = False
+
+    @property
+    def bf(self) -> float:
+        return self.camera.fx * self.stereo.baseline
+
+
+def from_yaml(path: str) -> SlamConfig:
+    """Load an ORB-SLAM3-style YAML (File.version 1.0 key naming,
+    Settings.cc:144-177). Minimal parser: `Key.sub: value` lines."""
+    vals = {}
+    with open(path) as f:
+        for line in f:
+            line = line.split("#")[0].strip()
+            if ":" not in line:
+                continue
+            k, v = line.split(":", 1)
+            k, v = k.strip().strip('"'), v.strip().strip('"')
+            try:
+                vals[k] = float(v)
+            except ValueError:
+                vals[k] = v
+
+    cfg = SlamConfig()
+    cam_type = str(vals.get("Camera.type", vals.get("Camera1.type", "PinHole")))
+    cfg.camera.model = "kannala_brandt8" if "Kannala" in cam_type else "pinhole"
+    for name, attr in [("fx", "fx"), ("fy", "fy"), ("cx", "cx"), ("cy", "cy")]:
+        for prefix in ("Camera1", "Camera"):
+            key = f"{prefix}.{name}"
+            if key in vals:
+                setattr(cfg.camera, attr, float(vals[key]))
+                break
+    if "Camera.width" in vals:
+        cfg.camera.width = int(vals["Camera.width"])
+    if "Camera.height" in vals:
+        cfg.camera.height = int(vals["Camera.height"])
+    if "Camera.bf" in vals and cfg.camera.fx:
+        cfg.stereo.baseline = float(vals["Camera.bf"]) / cfg.camera.fx
+    if "ThDepth" in vals:
+        cfg.stereo.depth_factor = float(vals["ThDepth"])
+    if "ORBextractor.nFeatures" in vals:
+        cfg.orb.max_kp = int(vals["ORBextractor.nFeatures"])
+    if "ORBextractor.nLevels" in vals:
+        cfg.orb.n_levels = int(vals["ORBextractor.nLevels"])
+    if "ORBextractor.iniThFAST" in vals:
+        cfg.orb.fast_threshold = float(vals["ORBextractor.iniThFAST"])
+    for yk, attr in [("IMU.NoiseGyro", "noise_gyro"), ("IMU.NoiseAcc", "noise_acc"),
+                     ("IMU.GyroWalk", "walk_gyro"), ("IMU.AccWalk", "walk_acc"),
+                     ("IMU.Frequency", "freq")]:
+        if yk in vals:
+            setattr(cfg.imu, attr, float(vals[yk]))
+    return cfg

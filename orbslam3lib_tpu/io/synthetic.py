@@ -1,0 +1,191 @@
+"""Synthetic stereo(-inertial) sequence generator: a textured corridor world
+rendered analytically, with exact ground-truth trajectory.
+
+Since the benchmark datasets (EuRoC/TUM-VI) cannot be downloaded in this
+environment, this module provides the integration-test workload (SURVEY.md §4:
+golden-value + ATE integration tests). The world is a rectangular corridor
+with procedurally textured walls; images are rendered by ray-plane
+intersection + multi-octave value-noise texture lookup — rich, persistent
+texture so the ORB front end behaves like on real imagery, and analytic
+poses so ATE is exact.
+
+All rendering is NumPy on the host (test-data generation, not a hot path).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Tuple
+
+import numpy as np
+
+from ..utils import lie
+import jax.numpy as jnp
+
+
+@dataclass
+class StereoRig:
+    fx: float = 300.0
+    fy: float = 300.0
+    cx: float = 320.0
+    cy: float = 200.0
+    width: int = 640
+    height: int = 400
+    baseline: float = 0.11
+
+    @property
+    def params(self) -> np.ndarray:
+        return np.asarray([self.fx, self.fy, self.cx, self.cy], dtype=np.float32)
+
+    @property
+    def bf(self) -> float:
+        return self.fx * self.baseline
+
+
+class _NoiseTexture:
+    """Multi-octave value noise over an integer lattice (tileable by hash)."""
+
+    def __init__(self, seed: int, base_scale: float = 0.25, octaves: int = 4):
+        rng = np.random.default_rng(seed)
+        self.tables = [rng.uniform(0, 1, size=(257, 257)).astype(np.float32)
+                       for _ in range(octaves)]
+        self.base_scale = base_scale
+        self.octaves = octaves
+
+    def sample(self, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+        out = np.zeros_like(u, dtype=np.float32)
+        amp_sum = 0.0
+        for o in range(self.octaves):
+            s = self.base_scale * (2.2 ** o)
+            amp = 1.0 / (1.5 ** o)
+            uu, vv = u * s, v * s
+            iu, iv = np.floor(uu).astype(np.int64), np.floor(vv).astype(np.int64)
+            fu, fv = (uu - iu).astype(np.float32), (vv - iv).astype(np.float32)
+            T = self.tables[o]
+            iu0, iv0 = iu % 256, iv % 256
+            a = T[iv0, iu0]
+            b = T[iv0, iu0 + 1]
+            c = T[iv0 + 1, iu0]
+            d = T[iv0 + 1, iu0 + 1]
+            val = (a * (1 - fu) * (1 - fv) + b * fu * (1 - fv)
+                   + c * (1 - fu) * fv + d * fu * fv)
+            out += amp * val
+            amp_sum += amp
+        return out / amp_sum
+
+
+@dataclass
+class CorridorWorld:
+    """Axis-aligned corridor: x in [-hw, hw], y in [-hh, hh], z in [z0, z1].
+    World frame: x right, y down, z forward."""
+    half_w: float = 2.0
+    half_h: float = 1.5
+    z0: float = -5.0
+    z1: float = 60.0
+    tex_seed: int = 42
+
+    def __post_init__(self):
+        s = self.tex_seed
+        # one texture per plane: left, right, floor, ceiling, end wall
+        self.tex = [_NoiseTexture(s + i, base_scale=3.0) for i in range(5)]
+
+    def render(self, R_cw: np.ndarray, c_w: np.ndarray, rig: StereoRig,
+               noise_sigma: float = 1.5, rng=None) -> np.ndarray:
+        """Render one grayscale image for camera with world-from-cam rotation
+        R_cw (3,3) and center c_w (3,). Returns (H, W) float32 in [0, 255]."""
+        H, W = rig.height, rig.width
+        u, v = np.meshgrid(np.arange(W, dtype=np.float32),
+                           np.arange(H, dtype=np.float32))
+        d_c = np.stack([(u - rig.cx) / rig.fx, (v - rig.cy) / rig.fy,
+                        np.ones_like(u)], axis=-1)  # (H,W,3)
+        d_w = d_c @ R_cw.T
+        o = c_w
+
+        best_t = np.full((H, W), np.inf, dtype=np.float32)
+        img = np.full((H, W), 90.0, dtype=np.float32)
+
+        planes = [
+            (0, -self.half_w, 0),   # left wall   x = -hw, tex coords (z, y)
+            (0, self.half_w, 1),    # right wall
+            (1, self.half_h, 2),    # floor       y = +hh, tex (x, z)
+            (1, -self.half_h, 3),   # ceiling
+            (2, self.z1, 4),        # end wall    z = z1, tex (x, y)
+        ]
+        for axis, val, ti in planes:
+            dn = d_w[..., axis]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = (val - o[axis]) / dn
+            hit = (t > 0.05) & np.isfinite(t)
+            p = o[None, None, :] + t[..., None] * d_w
+            if axis == 0:
+                in_b = (np.abs(p[..., 1]) <= self.half_h) & \
+                       (p[..., 2] >= self.z0) & (p[..., 2] <= self.z1)
+                tu, tv = p[..., 2], p[..., 1]
+            elif axis == 1:
+                in_b = (np.abs(p[..., 0]) <= self.half_w) & \
+                       (p[..., 2] >= self.z0) & (p[..., 2] <= self.z1)
+                tu, tv = p[..., 0], p[..., 2]
+            else:
+                in_b = (np.abs(p[..., 0]) <= self.half_w) & \
+                       (np.abs(p[..., 1]) <= self.half_h)
+                tu, tv = p[..., 0], p[..., 1]
+            hit &= in_b & (t < best_t)
+            tex_val = self.tex[ti].sample(tu[hit], tv[hit])
+            img[hit] = 30.0 + 200.0 * tex_val
+            best_t[hit] = t[hit]
+
+        if noise_sigma > 0:
+            rng = rng or np.random.default_rng(0)
+            img = img + rng.normal(0, noise_sigma, img.shape).astype(np.float32)
+        return np.clip(img, 0, 255).astype(np.float32)
+
+
+def corridor_trajectory(n_frames: int, dt: float = 1.0 / 15.0,
+                        speed: float = 0.8, wiggle: float = 0.25):
+    """Ground-truth camera trajectory down the corridor.
+
+    Returns (R_cw_list, c_w_list, timestamps): world-from-camera rotations and
+    camera centers. The camera looks along its velocity direction with slight
+    lateral/vertical oscillation — smooth, differentiable (IMU-friendly).
+    """
+    ts = np.arange(n_frames, dtype=np.float64) * dt
+    z = speed * ts
+    x = wiggle * np.sin(0.35 * z)
+    y = 0.4 * wiggle * np.sin(0.23 * z + 1.0)
+    dx = wiggle * 0.35 * np.cos(0.35 * z) * speed
+    dy = 0.4 * wiggle * 0.23 * np.cos(0.23 * z + 1.0) * speed
+    dz = np.full_like(z, speed)
+
+    R_cw_list, c_w_list = [], []
+    for i in range(n_frames):
+        fwd = np.array([dx[i], dy[i], dz[i]])
+        fwd = fwd / np.linalg.norm(fwd)
+        up_hint = np.array([0.0, 1.0, 0.0])
+        right = np.cross(up_hint, fwd)
+        right /= np.linalg.norm(right)
+        down = np.cross(fwd, right)
+        R_cw = np.stack([right, down, fwd], axis=1).astype(np.float32)  # cam axes in world
+        c_w = np.array([x[i], y[i], z[i]], dtype=np.float32)
+        R_cw_list.append(R_cw)
+        c_w_list.append(c_w)
+    return R_cw_list, c_w_list, ts.astype(np.float64)
+
+
+def render_stereo_sequence(n_frames: int, rig: StereoRig | None = None,
+                           world: CorridorWorld | None = None,
+                           dt: float = 1.0 / 15.0, seed: int = 0):
+    """Yield (img_pair (2,H,W) f32, Tcw_left (R, t), timestamp) per frame."""
+    rig = rig or StereoRig()
+    world = world or CorridorWorld()
+    R_cw_list, c_w_list, ts = corridor_trajectory(n_frames, dt=dt)
+    rng = np.random.default_rng(seed)
+    frames = []
+    for i in range(n_frames):
+        R_cw, c_w = R_cw_list[i], c_w_list[i]
+        c_right = c_w + R_cw @ np.array([rig.baseline, 0, 0], dtype=np.float32)
+        img_l = world.render(R_cw, c_w, rig, rng=rng)
+        img_r = world.render(R_cw, c_right, rig, rng=rng)
+        # Tcw: p_c = R_wc^T p_w - R_wc^T c
+        R = R_cw.T.astype(np.float32)
+        t = (-R @ c_w).astype(np.float32)
+        frames.append((np.stack([img_l, img_r]), (R, t), float(ts[i])))
+    return frames, rig, world

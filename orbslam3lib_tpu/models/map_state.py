@@ -1,0 +1,194 @@
+"""Tensor map model: keyframes + landmarks as fixed-capacity struct-of-arrays.
+
+TPU-native re-design of the reference's pointer-heavy map data model
+(/root/reference app/src/main/cpp: Map/KeyFrame/MapPoint classes with mutex-
+guarded observation dictionaries, covisibility edge maps and spanning trees —
+Map.h:40-180, KeyFrame.h, MapPoint.h). Following SURVEY.md §7, the graph
+becomes index tensors + validity masks with static capacities:
+
+  * the KeyFrame->MapPoint observation map is ONE int32 matrix
+    `kf_mp (K, F)` (feature slot -> landmark id, -1 = none) — this single
+    tensor *is* the bipartite BA graph, the covisibility graph (via a
+    one-hot matmul, see `covisibility`), and the observation counts;
+  * MapPoint bookkeeping (found/visible ratios, scale-invariance distances,
+    normals, distinctive descriptor) are flat arrays updated functionally;
+  * insertion/culling are pure jitted functions returning a new MapState —
+    there is no mMutexMapUpdate (SURVEY.md §5.2: functional state removes
+    the tracker-vs-mapper race class by design).
+
+Capacities are static (like the reference's own MAX_POINTS=20000 and
+top-16/block budgets) so every consumer compiles once.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# Default capacities (round-1 scale; config can override)
+MAX_KF = 256
+MAX_MP = 16384
+
+
+class MapState(NamedTuple):
+    # --- keyframes ---
+    kf_R: jnp.ndarray        # (K, 3, 3) world->cam
+    kf_t: jnp.ndarray        # (K, 3)
+    kf_valid: jnp.ndarray    # (K,) bool
+    kf_ts: jnp.ndarray       # (K,) float64-as-f32 timestamps
+    kf_xy: jnp.ndarray       # (K, F, 2) level-0 keypoint coords
+    kf_level: jnp.ndarray    # (K, F) int32
+    kf_desc: jnp.ndarray     # (K, F, 256) int8 bits
+    kf_feat_valid: jnp.ndarray  # (K, F) bool
+    kf_mp: jnp.ndarray       # (K, F) int32 landmark id or -1
+    kf_depth: jnp.ndarray    # (K, F) float32 stereo depth (<=0: none)
+    n_kf: jnp.ndarray        # () int32
+    # --- landmarks ---
+    mp_pos: jnp.ndarray      # (P, 3)
+    mp_valid: jnp.ndarray    # (P,) bool
+    mp_desc: jnp.ndarray     # (P, 256) int8 distinctive descriptor
+    mp_normal: jnp.ndarray   # (P, 3) mean viewing direction
+    mp_min_dist: jnp.ndarray  # (P,) scale-invariance range
+    mp_max_dist: jnp.ndarray  # (P,)
+    mp_first_kf: jnp.ndarray  # (P,) int32
+    mp_found: jnp.ndarray    # (P,) f32
+    mp_visible: jnp.ndarray  # (P,) f32
+    n_mp: jnp.ndarray        # () int32
+
+    @property
+    def max_kf(self):
+        return self.kf_R.shape[0]
+
+    @property
+    def max_mp(self):
+        return self.mp_pos.shape[0]
+
+    @property
+    def n_feat(self):
+        return self.kf_xy.shape[1]
+
+
+def empty_map(max_kf: int = MAX_KF, max_mp: int = MAX_MP, n_feat: int = 512) -> MapState:
+    f32, i32 = jnp.float32, jnp.int32
+    return MapState(
+        kf_R=jnp.tile(jnp.eye(3, dtype=f32), (max_kf, 1, 1)),
+        kf_t=jnp.zeros((max_kf, 3), f32),
+        kf_valid=jnp.zeros(max_kf, bool),
+        kf_ts=jnp.zeros(max_kf, f32),
+        kf_xy=jnp.zeros((max_kf, n_feat, 2), f32),
+        kf_level=jnp.zeros((max_kf, n_feat), i32),
+        kf_desc=jnp.zeros((max_kf, n_feat, 256), jnp.int8),
+        kf_feat_valid=jnp.zeros((max_kf, n_feat), bool),
+        kf_mp=jnp.full((max_kf, n_feat), -1, i32),
+        kf_depth=jnp.zeros((max_kf, n_feat), f32),
+        n_kf=jnp.zeros((), i32),
+        mp_pos=jnp.zeros((max_mp, 3), f32),
+        mp_valid=jnp.zeros(max_mp, bool),
+        mp_desc=jnp.zeros((max_mp, 256), jnp.int8),
+        mp_normal=jnp.zeros((max_mp, 3), f32),
+        mp_min_dist=jnp.zeros(max_mp, f32),
+        mp_max_dist=jnp.full(max_mp, 1e9, f32),
+        mp_first_kf=jnp.full(max_mp, -1, i32),
+        mp_found=jnp.ones(max_mp, f32),
+        mp_visible=jnp.ones(max_mp, f32),
+        n_mp=jnp.zeros((), i32),
+    )
+
+
+@jax.jit
+def insert_keyframe(m: MapState, R, t, ts, xy, level, desc, feat_valid,
+                    mp_assoc, depth) -> tuple[MapState, jnp.ndarray]:
+    """Append a keyframe at slot n_kf and register its observations.
+
+    mp_assoc (F,): landmark id already matched to each feature (-1 if none).
+    Returns (new_map, kf_id). Capacity overflow drops the insert (kf_id = -1).
+    Reference behavior: KeyFrame ctor + MapPoint::AddObservation +
+    KeyFrame::UpdateConnections (Tracking::CreateNewKeyFrame, Tracking.cc:3277).
+    """
+    k = m.n_kf
+    ok = k < m.max_kf
+    kc = jnp.minimum(k, m.max_kf - 1)
+
+    def write(m):
+        return m._replace(
+            kf_R=m.kf_R.at[kc].set(R),
+            kf_t=m.kf_t.at[kc].set(t),
+            kf_valid=m.kf_valid.at[kc].set(True),
+            kf_ts=m.kf_ts.at[kc].set(ts),
+            kf_xy=m.kf_xy.at[kc].set(xy),
+            kf_level=m.kf_level.at[kc].set(level),
+            kf_desc=m.kf_desc.at[kc].set(desc),
+            kf_feat_valid=m.kf_feat_valid.at[kc].set(feat_valid),
+            kf_mp=m.kf_mp.at[kc].set(jnp.where(feat_valid, mp_assoc, -1)),
+            kf_depth=m.kf_depth.at[kc].set(depth),
+            n_kf=k + 1,
+        )
+
+    m = jax.lax.cond(ok, write, lambda m: m, m)
+    return m, jnp.where(ok, kc, -1)
+
+
+@jax.jit
+def spawn_mappoints(m: MapState, kf_id, p_world, desc, normal, min_dist,
+                    max_dist, want, feat_slot) -> MapState:
+    """Allocate new landmarks for the `want`-masked candidates and bind them
+    to keyframe `kf_id` feature slots `feat_slot`.
+
+    All (F,)-shaped. Landmark ids are n_mp + prefix-sum ranks; overflow
+    candidates beyond capacity are dropped. Reference:
+    Tracking::CreateNewKeyFrame close-point spawning (Tracking.cc:3277+) and
+    LocalMapping::CreateNewMapPoints insertion.
+    """
+    ranks = jnp.cumsum(want.astype(jnp.int32)) - 1
+    ids = m.n_mp + ranks
+    ok = want & (ids < m.max_mp)
+    ids_c = jnp.where(ok, ids, m.max_mp - 1)  # clamped scatter target
+
+    def sc(arr, vals):
+        return arr.at[ids_c].set(jnp.where(ok[..., None] if arr.ndim > 1 else ok,
+                                           vals, arr[ids_c]))
+
+    m = m._replace(
+        mp_pos=sc(m.mp_pos, p_world),
+        mp_valid=m.mp_valid.at[ids_c].set(jnp.where(ok, True, m.mp_valid[ids_c])),
+        mp_desc=sc(m.mp_desc, desc),
+        mp_normal=sc(m.mp_normal, normal),
+        mp_min_dist=m.mp_min_dist.at[ids_c].set(jnp.where(ok, min_dist, m.mp_min_dist[ids_c])),
+        mp_max_dist=m.mp_max_dist.at[ids_c].set(jnp.where(ok, max_dist, m.mp_max_dist[ids_c])),
+        mp_first_kf=m.mp_first_kf.at[ids_c].set(jnp.where(ok, kf_id, m.mp_first_kf[ids_c])),
+        n_mp=m.n_mp + jnp.sum(ok.astype(jnp.int32)),
+    )
+    # bind observations into the keyframe row
+    row = m.kf_mp[kf_id]
+    row = row.at[feat_slot].set(jnp.where(ok, ids_c, row[feat_slot]))
+    return m._replace(kf_mp=m.kf_mp.at[kf_id].set(row))
+
+
+def observation_matrix(m: MapState) -> jnp.ndarray:
+    """(K, P) float32 binary observation incidence from kf_mp (one-hot sum).
+
+    This is the tensor form of the reference's MapPoint::mObservations maps.
+    """
+    K, F = m.kf_mp.shape
+    P = m.max_mp
+    obs = (m.kf_mp >= 0) & m.kf_feat_valid & m.kf_valid[:, None]
+    kk = jax.lax.broadcasted_iota(jnp.int32, (K, F), 0)
+    flat_idx = jnp.where(obs, kk * P + m.kf_mp, K * P)  # invalid -> overflow slot
+    O = jnp.zeros(K * P + 1, jnp.float32).at[flat_idx.reshape(-1)].add(1.0)
+    return O[: K * P].reshape(K, P).clip(0.0, 1.0)
+
+
+@jax.jit
+def covisibility(m: MapState) -> jnp.ndarray:
+    """(K, K) shared-observation counts — KeyFrame::UpdateConnections'
+    covisibility weights as one MXU matmul: C = O @ O^T."""
+    O = observation_matrix(m)
+    return O @ O.T
+
+
+@jax.jit
+def mp_observation_count(m: MapState) -> jnp.ndarray:
+    """(P,) number of keyframes observing each landmark."""
+    return jnp.sum(observation_matrix(m), axis=0).astype(jnp.int32)
