@@ -16,6 +16,10 @@ so the full Na x Nb distance matrix is one 256-deep matmul on the MXU plus a
 rank-1 correction — the highest-throughput possible mapping of this op on TPU
 (the "work splitting" of the DSP threads becomes a single batched matmul; the
 eye/frame batch dim is handled by vmap at the call site).
+
+Validity masking uses arithmetic gates (ops/masks.py) — 2-D pred tensors
+around the distance matrix trigger a catastrophic Mosaic compile path on the
+current TPU backend.
 """
 from __future__ import annotations
 
@@ -23,14 +27,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-BIG = jnp.float32(1024.0)  # > max Hamming distance (256)
+from .masks import BIG, penalize, step01
 
 
 def hamming_matrix(a_bits: jnp.ndarray, b_bits: jnp.ndarray,
                    a_valid: jnp.ndarray | None = None,
                    b_valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """(Na,256) x (Nb,256) 0/1 int8 -> (Na,Nb) float32 Hamming distances.
-    Invalid rows/cols are set to BIG."""
+    Invalid rows/cols are pushed to >= BIG."""
     a = a_bits.astype(jnp.bfloat16)
     b = b_bits.astype(jnp.bfloat16)
     dot = jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
@@ -39,17 +43,27 @@ def hamming_matrix(a_bits: jnp.ndarray, b_bits: jnp.ndarray,
     sb = jnp.sum(b_bits.astype(jnp.float32), axis=1)
     d = sa[:, None] + sb[None, :] - 2.0 * dot
     if a_valid is not None:
-        d = jnp.where(a_valid[:, None], d, BIG)
+        d = d + (1.0 - a_valid.astype(jnp.float32))[:, None] * BIG
     if b_valid is not None:
-        d = jnp.where(b_valid[None, :], d, BIG)
+        d = d + (1.0 - b_valid.astype(jnp.float32))[None, :] * BIG
     return d
 
 
 def knn2(dist: jnp.ndarray):
     """Per row: (best_idx, best_dist, second_dist). Matches the reference's
-    (indices, dist1, dist2) output contract (orbslam_dsp_matcher.cpp:32)."""
-    neg, idx = jax.lax.top_k(-dist, 2)
-    return idx[:, 0], -neg[:, 0], -neg[:, 1]
+    (indices, dist1, dist2) output contract (orbslam_dsp_matcher.cpp:32).
+
+    Arithmetic two-pass min instead of top_k: find the row min, penalize the
+    argmin column, min again — all VPU work, no sort.
+    """
+    n = dist.shape[1]
+    best = jnp.argmin(dist, axis=1)
+    d1 = jnp.min(dist, axis=1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+    # gate "is the argmin column" without pred: |col - best| >= 1 keeps
+    not_best = step01(jnp.abs(cols - best[:, None]).astype(jnp.float32))
+    d2 = jnp.min(dist + (1.0 - not_best) * BIG, axis=1)
+    return best, d1, d2
 
 
 def knn_match(a_bits, b_bits, a_valid=None, b_valid=None):
@@ -58,13 +72,12 @@ def knn_match(a_bits, b_bits, a_valid=None, b_valid=None):
 
 
 def mutual_best(dist: jnp.ndarray):
-    """Mutual nearest-neighbor mask from a distance matrix: (Na,) best idx
-    into b plus a bool mask where a and b agree (used by SearchForInitialization
-    -style matching)."""
+    """Mutual nearest-neighbor: (Na,) best idx into b plus a float gate where
+    a and b agree (SearchForInitialization-style)."""
     best_ab = jnp.argmin(dist, axis=1)
     best_ba = jnp.argmin(dist, axis=0)
-    mutual = best_ba[best_ab] == jnp.arange(dist.shape[0])
-    return best_ab, mutual
+    agree = best_ba[best_ab] == jnp.arange(dist.shape[0])
+    return best_ab, agree
 
 
 # ---------------------------------------------------------------------------

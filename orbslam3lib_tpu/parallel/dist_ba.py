@@ -1,0 +1,221 @@
+"""Distributed bundle adjustment: landmarks sharded over a device mesh,
+Schur-complement reduction via psum over ICI.
+
+This is the new capability the reference does not have (SURVEY.md §2.4: "no
+multi-node distribution in the reference — the north star adds it: keyframes/
+map blocks sharded across a TPU pod slice, per-block Hessians reduced with
+psum/all-gather over ICI, global BA sharded across hosts over DCN").
+
+Decomposition (the standard distributed-Schur structure, expressed with
+shard_map + XLA collectives instead of MPI):
+
+  * landmarks (and their observation edges) are sharded over mesh axis "mp";
+    cameras are replicated — the camera window C is small (tens), landmarks
+    are the big axis (thousands to millions);
+  * each device builds its local landmark Hessians Hpp, couplings W and its
+    partial camera-system contributions  S_loc = Hcc_loc - W Hpp^-1 W^T,
+    b_loc — all dense local math identical to mapping/local_ba.py;
+  * ONE psum over "mp" reduces S (C6 x C6) and b (C6) — a tiny collective
+    that rides ICI; every device then solves the same reduced system
+    (redundantly, cheaper than a broadcast) and back-substitutes its own
+    landmark deltas with zero further communication.
+
+Edges must be grouped by owning shard: `partition_problem` sorts them by
+landmark id so the static equal-split of shard_map is also the ownership
+split.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..mapping.local_ba import BAProblem, _edge_terms, _schur_solve
+from ..utils import lie
+from ..utils.robust import CHI2_MONO, CHI2_STEREO, DELTA_MONO, DELTA_STEREO, huber_weight
+
+
+def partition_problem(prob: BAProblem, n_shards: int) -> BAProblem:
+    """Reorder edges by landmark id and pad points/edges so both split evenly
+    into n_shards chunks with edge ownership aligned to point ownership."""
+    P_ = prob.points.shape[0]
+    E = prob.e_cam.shape[0]
+    P_pad = (-P_) % n_shards
+    E_pad = (-E) % n_shards
+
+    def pad_pts(a, fill=0):
+        if P_pad == 0:
+            return a
+        w = [(0, P_pad)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, w, constant_values=fill)
+
+    points = pad_pts(prob.points)
+    pt_valid = pad_pts(prob.pt_valid, False)
+    Pp = P_ + P_pad
+    per = Pp // n_shards
+
+    e_pt = np.asarray(prob.e_pt)
+    e_valid = np.asarray(prob.e_valid)
+    # invalid edges sort to their nominal landmark's shard anyway (harmless)
+    order = np.argsort(e_pt, kind="stable")
+
+    def pad_edges(a, fill=0):
+        a = np.asarray(a)[order]
+        if E_pad == 0:
+            return jnp.asarray(a)
+        w = [(0, E_pad)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.asarray(np.pad(a, w, constant_values=fill))
+
+    # after sorting, edges for shard s are those with e_pt in [s*per,(s+1)*per);
+    # equal-split requires balancing — pad edge count per shard on the host.
+    e_pt_sorted = e_pt[order]
+    shard_of = np.minimum(e_pt_sorted // per, n_shards - 1)
+    counts = np.bincount(shard_of, minlength=n_shards)
+    max_count = int(counts.max())
+    E_shard = max_count
+    new_E = E_shard * n_shards
+
+    def regroup(a, fill=0):
+        a = np.asarray(a)[order]
+        out_shape = (new_E,) + a.shape[1:]
+        out = np.full(out_shape, fill, dtype=a.dtype)
+        starts = np.zeros(n_shards, np.int64)
+        starts[1:] = np.cumsum(counts)[:-1]
+        for s in range(n_shards):
+            seg = a[starts[s]: starts[s] + counts[s]]
+            out[s * E_shard: s * E_shard + counts[s]] = seg
+        return jnp.asarray(out)
+
+    return BAProblem(
+        cam_R=prob.cam_R, cam_t=prob.cam_t, cam_fixed=prob.cam_fixed,
+        cam_valid=prob.cam_valid,
+        points=points, pt_valid=pt_valid,
+        e_cam=regroup(prob.e_cam),
+        e_pt=regroup(prob.e_pt),
+        e_uv=regroup(prob.e_uv),
+        e_inv_sigma2=regroup(prob.e_inv_sigma2),
+        e_u_right=regroup(prob.e_u_right),
+        e_stereo=regroup(prob.e_stereo, False),
+        e_valid=regroup(prob.e_valid, False),
+    )
+
+
+def dist_bundle_adjust(prob: BAProblem, cam_params, mesh: Mesh,
+                       cam_model: int = 0, bf: float = 0.0,
+                       n_iters: int = 10, lm_lambda: float = 1e-4,
+                       chi2_gate_after: int = 5, axis: str = "mp"):
+    """Distributed LM BA. `prob` must come from partition_problem(mesh size).
+
+    Returns (cam_R, cam_t, points, edge_inlier) — cameras replicated,
+    points/edge masks sharded over `axis`.
+    """
+    n_dev = mesh.shape[axis]
+    Pp = prob.points.shape[0]
+    per_pt = Pp // n_dev
+
+    chi2_th = jnp.where(prob.e_stereo, CHI2_STEREO, CHI2_MONO)
+    delta = jnp.where(prob.e_stereo, DELTA_STEREO, DELTA_MONO)
+    free_cam_g = (prob.cam_valid & (~prob.cam_fixed)).astype(jnp.float32)
+
+    pt_spec = P(axis)
+    rep = P()
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(rep, rep, pt_spec, pt_spec,
+                       pt_spec, pt_spec, pt_spec, pt_spec, pt_spec, pt_spec,
+                       pt_spec, pt_spec, pt_spec),
+             out_specs=(rep, rep, pt_spec, pt_spec),
+             check_vma=False)
+    def run(cam_R, cam_t, points, pt_valid, e_cam, e_pt, e_uv, e_is2,
+            e_ur, e_st, e_val, chi2_th_l, delta_l):
+        shard = jax.lax.axis_index(axis)
+        pt_off = shard * per_pt
+        e_pt_loc = jnp.clip(e_pt - pt_off, 0, per_pt - 1)
+        e_own = (e_pt >= pt_off) & (e_pt < pt_off + per_pt)
+        free_pt = pt_valid.astype(jnp.float32)
+
+        def local_prob(cR, ct, pts):
+            return BAProblem(
+                cam_R=cR, cam_t=ct, cam_fixed=prob.cam_fixed,
+                cam_valid=prob.cam_valid, points=pts, pt_valid=pt_valid,
+                e_cam=e_cam, e_pt=e_pt_loc, e_uv=e_uv, e_inv_sigma2=e_is2,
+                e_u_right=e_ur, e_stereo=e_st, e_valid=e_val & e_own)
+
+        def iteration(carry, it):
+            cam_R, cam_t, points, inlier = carry
+            p = local_prob(cam_R, cam_t, points)
+            r, Jc, Jp, chi2, behind = _edge_terms(p, cam_model, cam_params, bf)
+            w_h = huber_weight(chi2, delta_l)
+            w = e_is2 * w_h * inlier * (e_val & e_own) * (~behind)
+
+            C = cam_R.shape[0]
+            wJc = Jc * w[:, None, None]
+            wJp = Jp * w[:, None, None]
+            Hcc = jax.ops.segment_sum(jnp.einsum("eri,erj->eij", wJc, Jc),
+                                      e_cam, num_segments=C)
+            Hpp = jax.ops.segment_sum(jnp.einsum("eri,erj->eij", wJp, Jp),
+                                      e_pt_loc, num_segments=per_pt)
+            b_c = jax.ops.segment_sum(jnp.einsum("eri,er->ei", wJc, r),
+                                      e_cam, num_segments=C)
+            b_p = jax.ops.segment_sum(jnp.einsum("eri,er->ei", wJp, r),
+                                      e_pt_loc, num_segments=per_pt)
+            pc_id = e_pt_loc * C + e_cam
+            W = jax.ops.segment_sum(jnp.einsum("eri,erj->eij", wJc, Jp),
+                                    pc_id, num_segments=per_pt * C
+                                    ).reshape(per_pt, C, 6, 3)
+
+            I3 = jnp.eye(3, dtype=Hpp.dtype)
+            fp = free_pt[:, None, None]
+            Hpp = fp * Hpp + (1 - fp) * I3
+            Hpp = Hpp + lm_lambda * Hpp * I3 + 1e-8 * I3
+            W = W * free_cam_g[None, :, None, None] * free_pt[:, None, None, None]
+            b_p = b_p * free_pt[:, None]
+            Hpp_inv = jnp.linalg.inv(Hpp)
+
+            WHinv = jnp.einsum("pcia,pab->pcib", W, Hpp_inv)
+            S_loc = -jnp.einsum("pcia,pdja->cidj", WHinv, W)
+            b_schur_loc = b_c - jnp.einsum("pcia,pa->ci", WHinv, b_p)
+
+            # === THE collective: reduce the camera system over the mesh ===
+            S = jax.lax.psum(S_loc, axis)
+            b_schur = jax.lax.psum(b_schur_loc, axis)
+            Hcc_sum = jax.lax.psum(Hcc, axis)
+
+            I6 = jnp.eye(6, dtype=S.dtype)
+            fc = free_cam_g[:, None, None]
+            Hcc_sum = fc * Hcc_sum + (1 - fc) * I6
+            Hcc_sum = Hcc_sum + lm_lambda * Hcc_sum * I6 + 1e-8 * I6
+            iiC = jnp.arange(C)
+            S = S.at[iiC, :, iiC, :].add(Hcc_sum).reshape(C * 6, C * 6)
+            b_schur = b_schur * free_cam_g[:, None]
+            dx_c = -jnp.linalg.solve(S, b_schur.reshape(-1)).reshape(C, 6)
+            dx_c = dx_c * free_cam_g[:, None]
+
+            Wt_dxc = jnp.einsum("pcia,ci->pa", W, dx_c)
+            dx_p = -jnp.einsum("pab,pb->pa", Hpp_inv, b_p + Wt_dxc)
+            dx_p = dx_p * free_pt[:, None]
+
+            dR, dt = lie.se3_exp(dx_c)
+            cam_R2, cam_t2 = lie.se3_compose(dR, dt, cam_R, cam_t)
+            cam_R2 = lie.normalize_rotation(cam_R2)
+            points2 = points + dx_p
+
+            p2 = local_prob(cam_R2, cam_t2, points2)
+            _, _, _, chi2n, behindn = _edge_terms(p2, cam_model, cam_params, bf)
+            gated = ((chi2n <= chi2_th_l) & (~behindn)).astype(jnp.float32)
+            inlier = jnp.where(it >= chi2_gate_after, gated, inlier)
+            return (cam_R2, cam_t2, points2, inlier), None
+
+        inlier0 = jnp.ones(e_val.shape, jnp.float32)
+        (cam_R, cam_t, points, inlier), _ = jax.lax.scan(
+            iteration, (cam_R, cam_t, points, inlier0), jnp.arange(n_iters))
+        return cam_R, cam_t, points, (inlier > 0) & e_val & e_own
+
+    return run(prob.cam_R, prob.cam_t, prob.points, prob.pt_valid,
+               prob.e_cam, prob.e_pt, prob.e_uv, prob.e_inv_sigma2,
+               prob.e_u_right, prob.e_stereo, prob.e_valid, chi2_th, delta)

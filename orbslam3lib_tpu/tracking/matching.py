@@ -6,10 +6,13 @@ matchers in Frame.cc. The reference probes a 64x48 per-frame feature grid
 cell by cell (GetFeaturesInArea, Frame.cc:673; SearchByProjection hot loop,
 ORBmatcher.cc:1736-1792). On TPU the grid disappears: the spatial gate, the
 level-compatibility gate and the descriptor distances are all computed as
-dense masked (P, N) matrices — the descriptor term is one 256-deep MXU
+dense (P, N) gating matrices — the descriptor term is one 256-deep MXU
 matmul (ops/matcher.py) and the whole search is a handful of fused
 elementwise passes. This is the `vmap over map points` equivalent of the
 reference's SearchByProjectionThread sharding scaffold (SURVEY.md §2.4 P7).
+
+All 2-D gates are float arithmetic (ops/masks.py), not booleans — see the
+backend pathology note there.
 
 Constants follow the reference: TH_HIGH=100, TH_LOW=50 (ORBmatcher.cc:36-38),
 stereo descriptor gate (TH_HIGH+TH_LOW)/2=75 (Frame.cc:827 path) and the
@@ -23,9 +26,10 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.matcher import BIG, hamming_matrix
-from ..utils import cameras, lie
+from ..ops.masks import BIG, is_finite_match, leq_int, leq_soft, penalize, step01
+from ..ops.matcher import hamming_matrix
 from ..ops.pyramid import scale_factors
+from ..utils import cameras, lie
 
 TH_HIGH = 100.0
 TH_LOW = 50.0
@@ -38,33 +42,33 @@ class ProjMatches(NamedTuple):
     """Result of a projection search over P landmarks vs N frame features.
 
     mp_feat (P,) int32 : matched feature slot per landmark (-1 = none)
-    visible (P,) bool  : landmark passed the frustum gates (for mp_visible)
+    visible (P,) f32   : frustum-gate value in [0,1] (for mp_visible stats)
     """
     mp_feat: jnp.ndarray
     visible: jnp.ndarray
 
 
-def _one_to_one(dist_pn: jnp.ndarray, cand_mask: jnp.ndarray):
-    """Resolve the (P, N) candidate matrix to one-to-one matches.
+def _one_to_one(dm: jnp.ndarray):
+    """Resolve a penalized (P, N) distance matrix to one-to-one matches.
 
     Per landmark pick its best feature; per feature keep only the landmark
     with the smallest distance among those that picked it (the reference
     resolves collisions by replacing worse matches in SearchByProjection).
+    Returns mp_feat (P,) int32 (-1 = none).
     """
-    d = jnp.where(cand_mask, dist_pn, BIG)
-    best_feat = jnp.argmin(d, axis=1)                       # (P,)
-    best_d = jnp.min(d, axis=1)
-    has = best_d < BIG
-    N = dist_pn.shape[1]
-    # per-feature min over landmarks that chose it
-    feat_min = jnp.full(N + 1, BIG).at[jnp.where(has, best_feat, N)].min(best_d)
-    winner = has & (best_d <= feat_min[best_feat] + 1e-6)
-    # break exact ties: keep lowest landmark index via cummin trick
-    P = dist_pn.shape[0]
-    order = jnp.where(winner, jnp.arange(P), P)
-    first = jnp.full(N + 1, P).at[jnp.where(winner, best_feat, N)].min(order)
-    winner = winner & (first[best_feat] == jnp.arange(P))
-    return jnp.where(winner, best_feat, -1), has
+    P, N = dm.shape
+    best_feat = jnp.argmin(dm, axis=1)                      # (P,)
+    best_d = jnp.min(dm, axis=1)
+    has = is_finite_match(best_d)                           # f32 {0,1}
+    # per-feature min over landmarks that chose it (scatter-min)
+    tgt = jnp.where(has > 0.5, best_feat, N)                # 1-D int select: ok
+    feat_min = jnp.full(N + 1, BIG).at[tgt].min(best_d, mode="drop")
+    win = has * step01((feat_min[best_feat] + 1e-3) - best_d + 0.5)
+    # tie-break exact duplicates: first landmark index wins
+    order = jnp.where(win > 0.5, jnp.arange(P), P)
+    first = jnp.full(N + 1, P).at[tgt].min(order, mode="drop")
+    winner = (win > 0.5) & (first[best_feat] == jnp.arange(P))
+    return jnp.where(winner, best_feat, -1)
 
 
 def predicted_level(dist: jnp.ndarray, max_dist: jnp.ndarray,
@@ -77,10 +81,11 @@ def predicted_level(dist: jnp.ndarray, max_dist: jnp.ndarray,
     return lvl.astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("cam_model", "img_w", "img_h", "n_levels"))
+@partial(jax.jit, static_argnames=("radius", "cam_model", "img_w", "img_h",
+                                   "n_levels", "th_desc", "check_view_angle"))
 def search_by_projection(mp_pos, mp_desc, mp_valid, mp_normal, mp_min_dist,
                          mp_max_dist, R, t, cam_params, feat_xy, feat_level,
-                         feat_desc, feat_valid, radius: jnp.ndarray,
+                         feat_desc, feat_valid, radius: float,
                          cam_model: int = cameras.PINHOLE,
                          img_w: int = 640, img_h: int = 400,
                          th_desc: float = TH_HIGH, n_levels: int = 8,
@@ -98,40 +103,40 @@ def search_by_projection(mp_pos, mp_desc, mp_valid, mp_normal, mp_min_dist,
     uv = cameras.project(cam_model, cam_params, p_c)
     dist = jnp.linalg.norm(p_c, axis=-1)
 
-    in_img = ((uv[..., 0] >= 0) & (uv[..., 0] < img_w)
-              & (uv[..., 1] >= 0) & (uv[..., 1] < img_h))
-    in_depth = z > 0.1
-    in_range = (dist >= 0.8 * mp_min_dist) & (dist <= 1.2 * mp_max_dist)
-    visible = mp_valid & in_img & in_depth & in_range
+    vis = mp_valid.astype(jnp.float32)
+    vis = vis * step01(uv[..., 0] + 1.0) * step01(img_w - uv[..., 0])
+    vis = vis * step01(uv[..., 1] + 1.0) * step01(img_h - uv[..., 1])
+    vis = vis * step01((z - 0.1) * 10.0)
+    vis = vis * step01((dist - 0.8 * mp_min_dist) * 8.0)
+    vis = vis * step01((1.2 * mp_max_dist - dist) * 8.0)
     if check_view_angle:
-        # viewing dir in world frame: (p - cam_center)/dist vs stored normal
         Rw, cw = lie.se3_inverse(R, t)
         view = mp_pos - cw
         view = view / jnp.maximum(jnp.linalg.norm(view, axis=-1, keepdims=True), 1e-9)
         cosang = jnp.sum(view * mp_normal, axis=-1)
-        visible = visible & (cosang > 0.5)
+        vis = vis * step01((cosang - 0.5) * 8.0)
 
     lvl = predicted_level(dist, mp_max_dist, n_levels)
     sf = jnp.asarray(scale_factors(n_levels))
     r_scaled = radius * sf[lvl]                   # (P,)
 
-    # spatial + level gates, (P, N)
+    # (P, N) gates — all arithmetic
     d2 = jnp.sum((uv[:, None, :] - feat_xy[None, :, :]) ** 2, axis=-1)
-    spatial = d2 <= (r_scaled[:, None] ** 2)
-    lvl_ok = (feat_level[None, :] >= lvl[:, None] - 1) & (
-        feat_level[None, :] <= lvl[:, None] + 1)
-    cand = spatial & lvl_ok & visible[:, None] & feat_valid[None, :]
+    g = step01(r_scaled[:, None] ** 2 - d2 + 1.0)
+    dlvl = jnp.abs(feat_level[None, :] - lvl[:, None]).astype(jnp.float32)
+    g = g * step01(2.0 - dlvl)
+    g = g * vis[:, None] * feat_valid.astype(jnp.float32)[None, :]
 
     desc_d = hamming_matrix(mp_desc, feat_desc)
-    cand = cand & (desc_d <= th_desc)
-    mp_feat, _ = _one_to_one(desc_d, cand)
-    return ProjMatches(mp_feat=mp_feat, visible=visible)
+    g = g * leq_int(desc_d, th_desc)
+    mp_feat = _one_to_one(penalize(desc_d, g))
+    return ProjMatches(mp_feat=mp_feat, visible=vis)
 
 
-@partial(jax.jit, static_argnames=("n_levels",))
+@partial(jax.jit, static_argnames=("bf", "min_z", "n_levels"))
 def match_rectified_stereo(xy_l, level_l, desc_l, valid_l,
                            xy_r, level_r, desc_r, valid_r,
-                           bf: jnp.ndarray, min_z: jnp.ndarray,
+                           bf: float, min_z: float,
                            n_levels: int = 8):
     """Rectified stereo matching: row-banded candidates + disparity window.
 
@@ -144,35 +149,39 @@ def match_rectified_stereo(xy_l, level_l, desc_l, valid_l,
     Returns (u_right (N,), depth (N,)) with -1 / 0 for unmatched.
     """
     sf = jnp.asarray(scale_factors(n_levels))
-    row_tol = 2.0 * sf[level_l]                             # (N,)
+    row_tol = 2.0 * sf[jnp.clip(level_l, 0, n_levels - 1)]
     dv = jnp.abs(xy_l[:, None, 1] - xy_r[None, :, 1])
     disp = xy_l[:, None, 0] - xy_r[None, :, 0]
     max_disp = bf / min_z
-    cand = ((dv <= row_tol[:, None]) & (disp > 0.1) & (disp <= max_disp)
-            & valid_l[:, None] & valid_r[None, :])
-    lvl_ok = jnp.abs(level_l[:, None] - level_r[None, :]) <= 1
-    cand = cand & lvl_ok
+
+    g = step01(row_tol[:, None] - dv + 1.0)
+    g = g * step01((disp - 0.1) * 4.0)
+    g = g * step01((max_disp - disp) + 1.0)
+    g = g * valid_l.astype(jnp.float32)[:, None] * valid_r.astype(jnp.float32)[None, :]
+    dlvl = jnp.abs(level_l[:, None] - level_r[None, :]).astype(jnp.float32)
+    g = g * step01(2.0 - dlvl)
 
     d = hamming_matrix(desc_l, desc_r)
-    cand = cand & (d <= TH_STEREO_DESC)
-    dm = jnp.where(cand, d, BIG)
+    g = g * leq_int(d, TH_STEREO_DESC)
+    dm = penalize(d, g)
+
     best = jnp.argmin(dm, axis=1)
     best_d = jnp.min(dm, axis=1)
-    has = best_d < BIG
-    u_r = jnp.where(has, xy_r[best, 0], -1.0)
-    disparity = jnp.where(has, xy_l[:, 0] - u_r, 0.0)
-    depth = jnp.where(has & (disparity > 0.1), bf / jnp.maximum(disparity, 0.1), 0.0)
+    has = is_finite_match(best_d)                 # f32 {0,1}
+    u_r = has * xy_r[best, 0] + (1.0 - has) * (-1.0)
+    disparity = (xy_l[:, 0] - u_r) * has
+    depth = has * step01((disparity - 0.1) * 100.0) * bf / jnp.maximum(disparity, 0.1)
     return u_r, depth
 
 
-@partial(jax.jit, static_argnames=())
+@jax.jit
 def match_descriptors_ratio(desc_a, valid_a, desc_b, valid_b,
                             th: float = TH_LOW, ratio: float = NN_RATIO_DEFAULT):
     """Plain descriptor kNN-2 with Lowe ratio + threshold (the
     SearchForInitialization / fisheye-stereo style gate). Returns
-    (idx (Na,), ok (Na,))."""
+    (idx (Na,), ok (Na,) bool)."""
+    from ..ops.matcher import knn2
     d = hamming_matrix(desc_a, desc_b, valid_a, valid_b)
-    neg, idx2 = jax.lax.top_k(-d, 2)
-    d1, d2 = -neg[:, 0], -neg[:, 1]
-    ok = valid_a & (d1 <= th) & (d1 <= ratio * d2)
-    return jnp.where(ok, idx2[:, 0], -1), ok
+    i1, d1, d2 = knn2(d)
+    ok = valid_a & (d1 <= th) & (d1 <= ratio * d2)   # 1-D preds: fine
+    return jnp.where(ok, i1, -1), ok

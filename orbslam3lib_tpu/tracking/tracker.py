@@ -51,11 +51,13 @@ def _inv_sigma2(level, n_levels):
     return 1.0 / (s * s)
 
 
-@partial(jax.jit, static_argnames=("cam_model", "img_w", "img_h", "n_levels",
+@partial(jax.jit, static_argnames=("bf", "r_coarse", "r_fine", "cam_model",
+                                   "img_w", "img_h", "n_levels",
                                    "pose_rounds", "pose_iters"))
 def _track_two_stage(m: ms.MapState, R0, t0, feat_xy, feat_level, feat_desc,
-                     feat_valid, u_right, depth, cam_params, bf,
-                     r_coarse, r_fine, cam_model: int, img_w: int, img_h: int,
+                     feat_valid, u_right, depth, cam_params, bf: float,
+                     r_coarse: float, r_fine: float,
+                     cam_model: int, img_w: int, img_h: int,
                      n_levels: int, pose_rounds: int, pose_iters: int):
     """Two-stage projection search + pose optimization against the map.
 
@@ -229,7 +231,7 @@ class StereoTracker:
         u_r, depth = matching.match_rectified_stereo(
             feats.xy[0], feats.level[0], feats.desc[0], feats.valid[0],
             feats.xy[1], feats.level[1], feats.desc[1], feats.valid[1],
-            jnp.float32(cfg.bf), jnp.float32(cfg.stereo.min_z),
+            float(cfg.bf), float(cfg.stereo.min_z),
             n_levels=cfg.orb.n_levels)
         n_feat = int(feats.n_valid[0])
         self.threshold.update(n_feat)
@@ -280,9 +282,9 @@ class StereoTracker:
 
         R, t, mp_feat, inl, n_inl, visible = _track_two_stage(
             self.map, R0, t0, feats.xy[0], feats.level[0], feats.desc[0],
-            feats.valid[0], u_r, depth, self.cam_params, jnp.float32(cfg.bf),
-            jnp.float32(cfg.tracker.match_radius_coarse),
-            jnp.float32(cfg.tracker.match_radius_fine),
+            feats.valid[0], u_r, depth, self.cam_params, float(cfg.bf),
+            float(cfg.tracker.match_radius_coarse),
+            float(cfg.tracker.match_radius_fine),
             cam_model=cfg.camera.model_id, img_w=cfg.camera.width,
             img_h=cfg.camera.height, n_levels=cfg.orb.n_levels,
             pose_rounds=cfg.tracker.pose_rounds,
