@@ -139,15 +139,14 @@ class CorridorWorld:
         return np.clip(img, 0, 255).astype(np.float32)
 
 
-def corridor_trajectory(n_frames: int, dt: float = 1.0 / 15.0,
-                        speed: float = 0.8, wiggle: float = 0.25):
-    """Ground-truth camera trajectory down the corridor.
+GRAVITY_W = np.array([0.0, 9.81, 0.0])  # world gravity acceleration (+y down)
 
-    Returns (R_cw_list, c_w_list, timestamps): world-from-camera rotations and
-    camera centers. The camera looks along its velocity direction with slight
-    lateral/vertical oscillation — smooth, differentiable (IMU-friendly).
-    """
-    ts = np.arange(n_frames, dtype=np.float64) * dt
+
+def corridor_pose_at(ts: np.ndarray, speed: float = 0.8, wiggle: float = 0.25):
+    """Analytic pose at arbitrary times: returns (R_cw (T,3,3), c_w (T,3)).
+    The camera looks along its velocity direction with slight lateral/vertical
+    oscillation — smooth, differentiable (IMU-friendly)."""
+    ts = np.asarray(ts, dtype=np.float64)
     z = speed * ts
     x = wiggle * np.sin(0.35 * z)
     y = 0.4 * wiggle * np.sin(0.23 * z + 1.0)
@@ -155,19 +154,60 @@ def corridor_trajectory(n_frames: int, dt: float = 1.0 / 15.0,
     dy = 0.4 * wiggle * 0.23 * np.cos(0.23 * z + 1.0) * speed
     dz = np.full_like(z, speed)
 
-    R_cw_list, c_w_list = [], []
-    for i in range(n_frames):
-        fwd = np.array([dx[i], dy[i], dz[i]])
-        fwd = fwd / np.linalg.norm(fwd)
-        up_hint = np.array([0.0, 1.0, 0.0])
-        right = np.cross(up_hint, fwd)
-        right /= np.linalg.norm(right)
-        down = np.cross(fwd, right)
-        R_cw = np.stack([right, down, fwd], axis=1).astype(np.float32)  # cam axes in world
-        c_w = np.array([x[i], y[i], z[i]], dtype=np.float32)
-        R_cw_list.append(R_cw)
-        c_w_list.append(c_w)
-    return R_cw_list, c_w_list, ts.astype(np.float64)
+    fwd = np.stack([dx, dy, dz], axis=-1)
+    fwd /= np.linalg.norm(fwd, axis=-1, keepdims=True)
+    up_hint = np.array([0.0, 1.0, 0.0])
+    right = np.cross(np.broadcast_to(up_hint, fwd.shape), fwd)
+    right /= np.linalg.norm(right, axis=-1, keepdims=True)
+    down = np.cross(fwd, right)
+    R_cw = np.stack([right, down, fwd], axis=-1)   # float64: finite
+    c_w = np.stack([x, y, z], axis=-1)             # differences need f64
+    return R_cw, c_w
+
+
+def corridor_trajectory(n_frames: int, dt: float = 1.0 / 15.0,
+                        speed: float = 0.8, wiggle: float = 0.25):
+    """Ground-truth camera trajectory down the corridor.
+
+    Returns (R_cw_list, c_w_list, timestamps)."""
+    ts = np.arange(n_frames, dtype=np.float64) * dt
+    R_cw, c_w = corridor_pose_at(ts, speed, wiggle)
+    return list(R_cw.astype(np.float32)), list(c_w.astype(np.float32)), ts
+
+
+def synth_imu(t0: float, t1: float, freq: float = 200.0,
+              speed: float = 0.8, wiggle: float = 0.25,
+              bg=np.zeros(3), ba=np.zeros(3),
+              sigma_g: float = 0.0, sigma_a: float = 0.0, rng=None):
+    """Synthesize body-frame IMU samples along the corridor trajectory in
+    (t0, t1]: gyro (N,3), specific-force accel (N,3), dts (N,).
+
+    The IMU frame equals the (left) camera frame (T_bc = identity).
+    Rates/accelerations come from central finite differences of the analytic
+    pose; the accelerometer measures f = R_wb^T (a_w - g_w).
+    """
+    dt = 1.0 / freq
+    ts = np.arange(t0 + dt, t1 + dt * 0.5, dt)
+    eps = 1e-4
+    R0, p_m = corridor_pose_at(ts - dt * 0.5, speed, wiggle)   # midpoints
+    _, p_lo = corridor_pose_at(ts - dt * 0.5 - eps, speed, wiggle)
+    _, p_hi = corridor_pose_at(ts - dt * 0.5 + eps, speed, wiggle)
+    a_w = (p_hi.astype(np.float64) - 2 * p_m + p_lo) / (eps * eps)
+    # body rates from rotation increments around the midpoint
+    Ra, _ = corridor_pose_at(ts - dt * 0.5 - eps, speed, wiggle)
+    Rb, _ = corridor_pose_at(ts - dt * 0.5 + eps, speed, wiggle)
+    gyro = np.zeros((len(ts), 3), dtype=np.float64)
+    for i in range(len(ts)):
+        dRm = Ra[i].T @ Rb[i]
+        w_hat = (dRm - dRm.T) / (2 * 2 * eps)   # log approx for tiny angles
+        gyro[i] = [w_hat[2, 1], w_hat[0, 2], w_hat[1, 0]]
+    f_b = np.einsum("tij,tj->ti", np.transpose(R0, (0, 2, 1)).astype(np.float64),
+                    a_w - GRAVITY_W)
+    rng = rng or np.random.default_rng(0)
+    gyro = gyro + bg + rng.normal(0, sigma_g, gyro.shape)
+    f_b = f_b + ba + rng.normal(0, sigma_a, f_b.shape)
+    dts = np.full(len(ts), dt, dtype=np.float32)
+    return gyro.astype(np.float32), f_b.astype(np.float32), dts
 
 
 def render_stereo_sequence(n_frames: int, rig: StereoRig | None = None,
