@@ -66,16 +66,22 @@ def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     """Matrix log of a rotation: (...,3,3) -> (...,3).
 
-    Uses the quaternion route for numerical robustness near pi.
+    Quaternion route for robustness near pi; written with the "safe where"
+    pattern so jax.jacfwd/jacrev stay NaN-free at the identity (both branches
+    of every where must be finite AND have finite derivatives).
     """
     q = rotmat_to_quat(R)  # (w, x, y, z), w >= 0
     qw = q[..., 0]
     qv = q[..., 1:]
-    nv = jnp.linalg.norm(qv, axis=-1)
-    # angle = 2 atan2(|qv|, qw); axis = qv / |qv|
-    angle = 2.0 * jnp.arctan2(nv, qw)
-    small = nv < _EPS
-    scale = jnp.where(small, 2.0 / jnp.maximum(qw, _EPS), angle / jnp.maximum(nv, _EPS))
+    nv2 = jnp.sum(qv * qv, axis=-1)
+    small = nv2 < 1e-12
+    nv2_safe = jnp.where(small, 1.0, nv2)       # keeps sqrt grad finite
+    nv = jnp.sqrt(nv2_safe)
+    qw_safe = jnp.maximum(qw, _EPS)
+    scale_big = 2.0 * jnp.arctan2(nv, qw) / nv
+    # series in nv2 (differentiable at 0): 2/qw * (1 - nv2/(3 qw^2))
+    scale_small = 2.0 / qw_safe - 2.0 * nv2 / (3.0 * qw_safe ** 3)
+    scale = jnp.where(small, scale_small, scale_big)
     return scale[..., None] * qv
 
 
