@@ -1,0 +1,220 @@
+"""Local mapping ops: new-landmark triangulation, landmark/keyframe culling,
+duplicate fusion.
+
+TPU-native re-design of the reference's LocalMapping thread body
+(/root/reference app/src/main/cpp/src/LocalMapping.cc): CreateNewMapPoints
+(:394 — epipolar SearchForTriangulation with covisible KFs, parallax /
+positive-depth / reprojection / scale-consistency gates), MapPointCulling
+(:352 — found/visible ratio < 0.25 or too few observations while young),
+SearchInNeighbors (:726 — ORBmatcher::Fuse both directions with
+MapPoint::Replace), KeyFrameCulling (:914 — >=90% redundant observations).
+
+Everything is fixed-shape masked tensor math over the MapState arrays:
+  * pair matching + epipolar gating are (F, F) arithmetic-gate matrices with
+    the MXU Hamming matmul (same pattern as tracking/matching.py);
+  * triangulation is the batched DLT of utils/cameras.py;
+  * culling decisions are pure elementwise passes over the landmark arrays;
+  * MapPoint::Replace becomes a replace-table gather over kf_mp.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..models import map_state as ms
+from ..ops.masks import BIG, is_finite_match, leq_int, penalize, step01
+from ..ops.matcher import hamming_matrix
+from ..ops.pyramid import scale_factors
+from ..utils import cameras, lie
+
+
+@partial(jax.jit, static_argnames=("cam_model", "n_levels"))
+def triangulate_pair(m: ms.MapState, kf_a, kf_b, cam_params,
+                     cam_model: int = cameras.PINHOLE, n_levels: int = 8,
+                     nn_ratio: float = 0.6, th_desc: float = 50.0,
+                     epi_sigma: float = 1.0):
+    """Match unassociated features of keyframes a,b and triangulate new
+    landmarks; spawn them bound to kf_a's feature slots.
+
+    Reference semantics: LocalMapping::CreateNewMapPoints (LocalMapping.cc:394)
+    + ORBmatcher::SearchForTriangulation (ORBmatcher.cc:908) with ratio 0.6,
+    epipolar-line gate, cos-parallax < 0.9998, positive depths, chi2 reproj
+    gates (5.991 sigma), scale-consistency ratio 1.5 * scaleFactor.
+    """
+    F = m.n_feat
+    a = jnp.clip(kf_a, 0, m.max_kf - 1)
+    b = jnp.clip(kf_b, 0, m.max_kf - 1)
+    Ra, ta = m.kf_R[a], m.kf_t[a]
+    Rb, tb = m.kf_R[b], m.kf_t[b]
+    free_a = m.kf_feat_valid[a] & (m.kf_mp[a] < 0)
+    free_b = m.kf_feat_valid[b] & (m.kf_mp[b] < 0)
+
+    # relative pose cam_a <- cam_b and baseline gate (LocalMapping.cc:441:
+    # baseline must exceed scene-scale threshold; we gate on |t| > 1e-3)
+    Rab = Ra @ Rb.T
+    tab = ta - Rab @ tb
+    E = lie.hat(tab) @ Rab  # essential: x_a^T E x_b = 0
+
+    ray_a = cameras.unproject(cam_model, cam_params, m.kf_xy[a])  # (F,3)
+    ray_b = cameras.unproject(cam_model, cam_params, m.kf_xy[b])
+
+    # epipolar distance of ray_b to the line E^T ray_a, in normalized coords
+    l_b = ray_a @ E                         # (F,3) line coeffs for cam_b
+    num = jnp.abs(jnp.einsum("ac,bc->ab", l_b, ray_b))
+    den = jnp.sqrt(l_b[:, 0:1] ** 2 + l_b[:, 1:2] ** 2 + 1e-12)
+    fx = cam_params[0]
+    epi_px = (num / den) * fx               # approx pixel distance
+    sf = jnp.asarray(scale_factors(n_levels))
+    sig_b = sf[jnp.clip(m.kf_level[b], 0, n_levels - 1)]
+    g_epi = step01(3.84 * epi_sigma * sig_b[None, :] - epi_px + 0.5)
+
+    d = hamming_matrix(m.kf_desc[a], m.kf_desc[b])
+    g = g_epi * leq_int(d, th_desc)
+    g = g * free_a.astype(jnp.float32)[:, None] * free_b.astype(jnp.float32)[None, :]
+    dm = penalize(d, g)
+    # kNN-2 ratio test along b
+    best = jnp.argmin(dm, axis=1)
+    d1 = jnp.min(dm, axis=1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, dm.shape, 1)
+    not_best = step01(jnp.abs(cols - best[:, None]).astype(jnp.float32))
+    d2 = jnp.min(dm + (1.0 - not_best) * BIG, axis=1)
+    has = is_finite_match(d1) * step01((nn_ratio * d2 - d1) + 0.5)
+
+    # triangulate matches in cam_a frame
+    rb_sel = ray_b[best]
+    p_a, cosp, z1, z2 = cameras.triangulate_two_view(
+        ray_a, rb_sel, jnp.broadcast_to(Rab, (F, 3, 3)),
+        jnp.broadcast_to(tab, (F, 3)))
+    # reprojection gates in both views
+    uv_a = cameras.project(cam_model, cam_params, p_a)
+    p_b = jnp.einsum("ij,fj->fi", Rab.T, p_a - tab)
+    uv_b = cameras.project(cam_model, cam_params, p_b)
+    err_a = jnp.sum((uv_a - m.kf_xy[a]) ** 2, axis=-1)
+    err_b = jnp.sum((uv_b - m.kf_xy[b][best]) ** 2, axis=-1)
+    sig_a = sf[jnp.clip(m.kf_level[a], 0, n_levels - 1)]
+    ok = has
+    ok = ok * step01((0.9998 - cosp) * 1e5)          # parallax gate
+    ok = ok * step01((z1 - 0.05) * 20.0) * step01((z2 - 0.05) * 20.0)
+    ok = ok * step01(5.991 * sig_a ** 2 - err_a + 0.5)
+    ok = ok * step01(5.991 * (sig_a[best] ** 2) - err_b + 0.5)
+    ok = ok * step01(jnp.linalg.norm(tab) * 1e3)      # degenerate baseline
+    # scale consistency (LocalMapping.cc: ratioDist vs ratioOctave*1.5)
+    Rwa, ca = lie.se3_inverse(Ra, ta)
+    p_w = lie.se3_apply(Rwa, ca, p_a)
+    Rwb_, cb = lie.se3_inverse(Rb, tb)
+    dist_a = jnp.linalg.norm(p_w - ca, axis=-1)
+    dist_b = jnp.linalg.norm(p_w - cb, axis=-1)
+    ratio_d = dist_a / jnp.maximum(dist_b, 1e-6)
+    ratio_o = sig_a / jnp.maximum(sig_b[best], 1e-6)
+    ok = ok * step01((ratio_d - ratio_o / 1.5) * 8.0)
+    ok = ok * step01((ratio_o * 1.5 - ratio_d) * 8.0)
+
+    want = ok > 0.5
+    normal = (p_w - ca) / jnp.maximum(dist_a[:, None], 1e-9)
+    max_dist = dist_a * sig_a
+    min_dist = max_dist / sf[n_levels - 1]
+    m2 = ms.spawn_mappoints(m, a, p_w, m.kf_desc[a], normal, min_dist,
+                            max_dist, want, jnp.arange(F))
+    # also bind the observation in kf_b (AddObservation second view)
+    new_ids = m2.kf_mp[a]
+    row_b = m2.kf_mp[b]
+    bind_b = want & (row_b[best] < 0)
+    tgt = jnp.where(bind_b, best, F)
+    row_b2 = row_b.at[tgt].set(jnp.where(bind_b, new_ids, -1), mode="drop")
+    m2 = m2._replace(kf_mp=m2.kf_mp.at[b].set(jnp.where(row_b2 >= 0, row_b2, row_b)))
+    return m2, jnp.sum(want.astype(jnp.int32))
+
+
+@jax.jit
+def cull_mappoints(m: ms.MapState, cur_kf_id) -> ms.MapState:
+    """MapPointCulling (LocalMapping.cc:352): drop landmarks with
+    found/visible < 0.25, or with <=2 observations when 2+ keyframes old;
+    landmarks >=3 KFs old become permanent."""
+    n_obs = ms.mp_observation_count(m)
+    age = cur_kf_id - m.mp_first_kf          # in keyframes
+    ratio = m.mp_found / jnp.maximum(m.mp_visible, 1.0)
+    bad = (ratio < 0.25) & (age <= 3)
+    bad = bad | ((age >= 2) & (age <= 3) & (n_obs <= 2))
+    new_valid = m.mp_valid & (~bad)
+    # scrub dangling references
+    kf_mp = jnp.where(new_valid[jnp.clip(m.kf_mp, 0, m.max_mp - 1)] & (m.kf_mp >= 0),
+                      m.kf_mp, -1)
+    return m._replace(mp_valid=new_valid, kf_mp=kf_mp)
+
+
+@partial(jax.jit, static_argnames=("cam_model", "img_w", "img_h", "n_levels"))
+def fuse_into_keyframe(m: ms.MapState, kf_id, mp_candidates_valid, cam_params,
+                       cam_model: int = cameras.PINHOLE, img_w: int = 640,
+                       img_h: int = 400, n_levels: int = 8,
+                       radius: float = 3.0, th_desc: float = 50.0):
+    """ORBmatcher::Fuse (ORBmatcher.cc:1155) into one keyframe: project the
+    candidate landmarks, match to the KF's features; empty slots gain an
+    observation; occupied slots trigger MapPoint::Replace keeping the
+    landmark with more observations (the loser's references are rewritten
+    via a replace table)."""
+    from ..tracking.matching import search_by_projection
+
+    k = jnp.clip(kf_id, 0, m.max_kf - 1)
+    cand = m.mp_valid & mp_candidates_valid
+    pm = search_by_projection(
+        m.mp_pos, m.mp_desc, cand, m.mp_normal, m.mp_min_dist, m.mp_max_dist,
+        m.kf_R[k], m.kf_t[k], cam_params, m.kf_xy[k], m.kf_level[k],
+        m.kf_desc[k], m.kf_feat_valid[k], radius, cam_model=cam_model,
+        img_w=img_w, img_h=img_h, th_desc=th_desc, n_levels=n_levels)
+
+    F = m.n_feat
+    n_obs = ms.mp_observation_count(m)
+    row = m.kf_mp[k]
+    matched = pm.mp_feat >= 0
+    f_idx = jnp.clip(pm.mp_feat, 0, F - 1)
+    occupant = row[f_idx]                      # existing landmark or -1
+
+    # case 1: slot empty -> add observation
+    add = matched & (occupant < 0)
+    tgt = jnp.where(add, f_idx, F)
+    row2 = row.at[tgt].set(jnp.arange(m.max_mp, dtype=jnp.int32), mode="drop")
+
+    # case 2: slot occupied by a different landmark -> keep the better one
+    clash = matched & (occupant >= 0) & (occupant != jnp.arange(m.max_mp))
+    occ_c = jnp.clip(occupant, 0, m.max_mp - 1)
+    self_better = n_obs >= n_obs[occ_c]
+    # replace table: dead -> winner
+    repl = jnp.arange(m.max_mp, dtype=jnp.int32)
+    # landmark loses to occupant
+    lose_self = clash & (~self_better)
+    repl = jnp.where(lose_self, occ_c, repl)
+    # occupant loses to landmark: scatter
+    win_tgt = jnp.where(clash & self_better, occ_c, m.max_mp)
+    repl = repl.at[win_tgt].set(jnp.arange(m.max_mp, dtype=jnp.int32), mode="drop")
+    dead = repl != jnp.arange(m.max_mp)
+
+    kf_mp = m.kf_mp.at[k].set(row2)
+    kf_mp = jnp.where(kf_mp >= 0, repl[jnp.clip(kf_mp, 0, m.max_mp - 1)], -1)
+    mp_valid = m.mp_valid & (~dead)
+    return m._replace(kf_mp=kf_mp, mp_valid=mp_valid), jnp.sum(add) + jnp.sum(clash)
+
+
+@jax.jit
+def cull_keyframes(m: ms.MapState, protect_ids) -> ms.MapState:
+    """KeyFrameCulling (LocalMapping.cc:914): a keyframe is redundant if
+    >=90% of its landmarks are observed by >=3 other keyframes. protect_ids
+    (A,) are never culled (current window / first KF)."""
+    n_obs = ms.mp_observation_count(m)
+    mp_redundant = n_obs >= 4                 # >= 3 others + self
+    has_mp = (m.kf_mp >= 0) & m.kf_feat_valid
+    mp_idx = jnp.clip(m.kf_mp, 0, m.max_mp - 1)
+    red = has_mp & mp_redundant[mp_idx]
+    n_has = jnp.sum(has_mp, axis=1)
+    n_red = jnp.sum(red, axis=1)
+    redundant_kf = m.kf_valid & (n_has > 10) & (n_red >= 0.9 * n_has)
+    prot = jnp.zeros(m.max_kf, bool).at[jnp.clip(protect_ids, 0, m.max_kf - 1)].set(True)
+    kill = redundant_kf & (~prot)
+    # at most one KF culled per call (keeps covisibility stable, like the
+    # incremental reference loop)
+    first_kill = jnp.argmax(kill.astype(jnp.int32))
+    do = jnp.any(kill)
+    kf_valid = m.kf_valid.at[first_kill].set(
+        jnp.where(do, False, m.kf_valid[first_kill]))
+    return m._replace(kf_valid=kf_valid)

@@ -356,6 +356,17 @@ class StereoTracker:
         self.ref_kf_matches = max(n_inliers, 1)
         self.stats["n_kf"] += 1
 
+        # local-mapping pipeline (LocalMapping::Run order, LocalMapping.cc:64):
+        # cull young landmarks -> triangulate with covisible neighbors ->
+        # fuse duplicates -> local BA -> cull redundant keyframes
+        from ..mapping import local_mapping as lm
+        kid = int(kf_id)
+        self.map = lm.cull_mappoints(self.map, jnp.int32(kid))
+        for nb in range(max(0, kid - 2), kid):
+            self.map, n_new = lm.triangulate_pair(
+                self.map, jnp.int32(kid), jnp.int32(nb), self.cam_params,
+                cam_model=cfg.camera.model_id, n_levels=cfg.orb.n_levels)
+
         # synchronous local BA over the trailing window
         n_kf = int(self.map.n_kf)
         C = cfg.ba.window_size + cfg.ba.n_fixed
