@@ -218,22 +218,14 @@ def se3_matrix(R, t):
 # Sim(3) — needed for loop closing (reference: Sim3Solver, OptimizeSim3)
 # ---------------------------------------------------------------------------
 
-def sim3_exp(xi: jnp.ndarray):
-    """sim(3) exp. xi = [rho, phi, sigma] (...,7) -> (R, t, s).
-
-    t = W rho with W = \\int_0^1 e^{sigma u} exp(u hat(phi)) du
-      = cI*I + cW*hat(phi) + cW2*hat(phi)^2,
-    with closed forms per regime (sigma and/or theta near zero use the series
-    limits of the integrals; selection via jnp.where, jit-safe).
-    """
-    rho, phi, sigma = xi[..., :3], xi[..., 3:6], xi[..., 6]
-    s = jnp.exp(sigma)
-    R = so3_exp(phi)
+def _sim3_W(phi: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
+    """The Sim(3) 'W' matrix: t = W rho in sim3_exp. (...,3)x(...,) -> (...,3,3)."""
     theta2 = jnp.sum(phi * phi, axis=-1)
     theta = jnp.sqrt(jnp.maximum(theta2, _EPS * _EPS))
+    s = jnp.exp(sigma)
     W = hat(phi)
     W2 = W @ W
-    I = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), R.shape)
+    I = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), W.shape)
 
     small_s = jnp.abs(sigma) < 1e-4
     small_t = theta < 1e-4
@@ -262,9 +254,30 @@ def sim3_exp(xi: jnp.ndarray):
     cW2 = jnp.where(small_s, jnp.where(small_t, sixth, cW2_ss),
                     jnp.where(small_t, cW2_st, cW2_gen))
 
-    Wmat = cI[..., None, None] * I + cW[..., None, None] * W + cW2[..., None, None] * W2
+    return cI[..., None, None] * I + cW[..., None, None] * W + cW2[..., None, None] * W2
+
+
+def sim3_exp(xi: jnp.ndarray):
+    """sim(3) exp. xi = [rho, phi, sigma] (...,7) -> (R, t, s).
+
+    t = W rho with W = \\int_0^1 e^{sigma u} exp(u hat(phi)) du (closed forms
+    per small-angle/small-scale regime in _sim3_W, jit/vmap-safe).
+    """
+    rho, phi, sigma = xi[..., :3], xi[..., 3:6], xi[..., 6]
+    R = so3_exp(phi)
+    s = jnp.exp(sigma)
+    Wmat = _sim3_W(phi, sigma)
     t = jnp.einsum("...ij,...j->...i", Wmat, rho)
     return R, t, s
+
+
+def sim3_log(R: jnp.ndarray, t: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    """Sim(3) log -> (...,7) [rho, phi, sigma]. Inverse of sim3_exp."""
+    phi = so3_log(R)
+    sigma = jnp.log(s)
+    Wmat = _sim3_W(phi, sigma)
+    rho = jnp.linalg.solve(Wmat, t[..., None])[..., 0]
+    return jnp.concatenate([rho, phi, sigma[..., None]], axis=-1)
 
 
 def sim3_apply(R, t, s, p):
