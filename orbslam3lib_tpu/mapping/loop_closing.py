@@ -1,0 +1,215 @@
+"""Loop detection + correction over the tensor map.
+
+TPU-native re-design of the reference's LoopClosing thread
+(/root/reference app/src/main/cpp/src/LoopClosing.cc): NewDetectCommonRegions
+(:324 — KFDB DetectNBestCandidates -> BoW geometric check -> Sim3Solver
+RANSAC -> OptimizeSim3 -> temporal consistency of 3), CorrectLoop (:969 —
+propagate the corrected Sim3 over the current covisible window, correct
+MapPoints, SearchAndFuse, OptimizeEssentialGraph, optional GBA).
+
+Host-side `LoopCloser` drives the per-keyframe detection state machine
+(counters are scalars); all heavy math is in jitted helpers:
+  * candidate matching: full descriptor matmul between landmark-bearing
+    features (SearchByBoW becomes brute MXU matching — see
+    tracking/matching.py design note);
+  * Sim3 verification: mapping/sim3.py batched RANSAC + GN;
+  * graph correction: mapping/pose_graph.py dense solve + one batched
+    landmark re-anchoring pass.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models import map_state as ms
+from ..utils import cameras, lie
+from . import pose_graph, sim3 as sim3_mod
+
+
+@partial(jax.jit, static_argnames=())
+def match_kf_landmarks(m: ms.MapState, kf_a, kf_b):
+    """Descriptor-match the landmark-bearing features of two keyframes.
+
+    Returns (p_a_cam (F,3), p_b_cam (F,3), uv_a, uv_b, valid) aligned to
+    kf_a's feature slots — the input of Sim3 RANSAC (the reference's
+    SearchByBoW(KF, KF) + Sim3Solver input assembly, LoopClosing.cc:578+).
+    """
+    from ..tracking.matching import match_descriptors_ratio
+
+    a = jnp.clip(kf_a, 0, m.max_kf - 1)
+    b = jnp.clip(kf_b, 0, m.max_kf - 1)
+    F = m.n_feat
+    has_a = m.kf_feat_valid[a] & (m.kf_mp[a] >= 0)
+    has_b = m.kf_feat_valid[b] & (m.kf_mp[b] >= 0)
+    idx, ok = match_descriptors_ratio(m.kf_desc[a], has_a, m.kf_desc[b],
+                                      has_b, th=75.0, ratio=0.9)
+    idx_c = jnp.clip(idx, 0, F - 1)
+    mp_a = jnp.clip(m.kf_mp[a], 0, m.max_mp - 1)
+    mp_b = jnp.clip(m.kf_mp[b][idx_c], 0, m.max_mp - 1)
+    valid = ok & m.mp_valid[mp_a] & m.mp_valid[mp_b]
+    p_a = lie.se3_apply(m.kf_R[a], m.kf_t[a], m.mp_pos[mp_a])
+    p_b = lie.se3_apply(m.kf_R[b], m.kf_t[b], m.mp_pos[mp_b])
+    return p_a, p_b, m.kf_xy[a], m.kf_xy[b][idx_c], valid
+
+
+@partial(jax.jit, static_argnames=("e_max",))
+def essential_edges(m: ms.MapState, e_max: int = 1024, min_weight: float = 100.0):
+    """Essential-graph edge list: sequential (spanning-tree stand-in) +
+    strong covisibility edges (weight >= 100, KeyFrame::GetCovisiblesByWeight
+    semantics). Returns (e_i, e_j, e_valid) of static size e_max."""
+    from ..ops.masks import step01
+    K = m.max_kf
+    C = ms.covisibility(m)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+    # arithmetic gates (2-D preds are hazardous on this backend, see ops/masks)
+    upper = step01((jj - ii).astype(jnp.float32))
+    seq = upper * step01(1.0 - jnp.abs(jj - ii - 1).astype(jnp.float32))
+    kv = m.kf_valid.astype(jnp.float32)
+    valid_pair = kv[:, None] * kv[None, :]
+    w = (C * step01(C - min_weight + 1.0) + seq * 1e6) * upper * valid_pair
+    flat = w.reshape(-1)
+    top_w, top_idx = jax.lax.top_k(flat, e_max)
+    e_i = top_idx // K
+    e_j = top_idx % K
+    return e_i.astype(jnp.int32), e_j.astype(jnp.int32), top_w > 0
+
+
+@jax.jit
+def apply_pose_graph_result(m: ms.MapState, new_R, new_t, new_s,
+                            old_R, old_t) -> ms.MapState:
+    """Write corrected poses back (Sim3 -> SE3 with t/s, reference
+    LoopClosing.cc:1035 CorrectedSim3 handling) and re-anchor every landmark
+    through its first-observing keyframe:  p' = Tcw_new^-1 * s * (Tcw_old * p).
+    """
+    se3_t = new_t / jnp.maximum(new_s[:, None], 1e-9)
+    ref = jnp.clip(m.mp_first_kf, 0, m.max_kf - 1)
+    has_ref = (m.mp_first_kf >= 0) & m.mp_valid
+
+    p_cam = lie.se3_apply(old_R[ref], old_t[ref], m.mp_pos)
+    Rn, tn = new_R[ref], se3_t[ref]
+    Rwc = jnp.swapaxes(Rn, -1, -2)
+    p_new = jnp.einsum("pij,pj->pi", Rwc, p_cam - tn)
+    h = has_ref.astype(jnp.float32)[:, None]
+    mp_pos = h * p_new + (1.0 - h) * m.mp_pos
+    return m._replace(kf_R=new_R, kf_t=se3_t, mp_pos=mp_pos)
+
+
+class LoopCloser:
+    """Host-side loop-detection state machine + correction driver."""
+
+    def __init__(self, cfg, place_rec, min_matches: int = 20,
+                 min_inliers: int = 20, consistency_needed: int = 3):
+        self.cfg = cfg
+        self.pr = place_rec
+        self.min_matches = min_matches
+        self.min_inliers = min_inliers
+        self.consistency_needed = consistency_needed
+        self.consistent_candidate = -1
+        self.consistency_count = 0
+        self.last_loop_kf = -999
+        self.n_loops = 0
+
+    def on_keyframe(self, m: ms.MapState, kf_id: int, cam_params) -> ms.MapState:
+        """Run detection for a new keyframe; on a confirmed loop, correct the
+        map. Returns the (possibly corrected) map."""
+        n_kf = int(m.n_kf)
+        # reference gates: skip until enough KFs and not right after a loop
+        if n_kf < 8 or kf_id - self.last_loop_kf < 10:
+            return m
+
+        # covisibility-excluded BoW query (LoopClosing.cc:341+)
+        covis = np.asarray(ms.covisibility(m)[kf_id])
+        exclude = covis > 0
+        exclude[kf_id] = True
+        exclude[max(0, kf_id - 3):kf_id + 1] = True  # temporal neighbors
+        ids, scores = self.pr.query(m.kf_desc[kf_id], m.kf_feat_valid[kf_id],
+                                    exclude_mask=jnp.asarray(exclude), n_best=3)
+        cand = int(ids[0])
+        if cand < 0 or float(scores[0]) <= 0.015:
+            self.consistency_count = 0
+            return m
+
+        # temporal consistency (3 consecutive hits on covisible candidates)
+        if self.consistent_candidate >= 0 and \
+                (covis[cand] > 0 or abs(cand - self.consistent_candidate) <= 2):
+            self.consistency_count += 1
+        else:
+            self.consistency_count = 1
+        self.consistent_candidate = cand
+        if self.consistency_count < self.consistency_needed:
+            return m
+
+        # geometric verification: Sim3 RANSAC + refinement
+        p_a, p_b, uv_a, uv_b, valid = match_kf_landmarks(
+            m, jnp.int32(kf_id), jnp.int32(cand))
+        if int(jnp.sum(valid)) < self.min_matches:
+            return m
+        R12, t12, s12, inl, n_inl = sim3_mod.sim3_ransac(
+            p_a, p_b, uv_a, uv_b, valid, cam_params)
+        if int(n_inl) < self.min_inliers:
+            return m
+        R12, t12, s12, inl, n_inl = sim3_mod.optimize_sim3(
+            R12, t12, s12, p_a, p_b, uv_a, uv_b, inl & valid, cam_params)
+        if int(n_inl) < self.min_inliers:
+            return m
+
+        m = self.correct(m, kf_id, cand, (R12, t12, s12))
+        self.last_loop_kf = kf_id
+        self.consistency_count = 0
+        self.n_loops += 1
+        return m
+
+    def correct(self, m: ms.MapState, kf_cur: int, kf_loop: int, S12) -> ms.MapState:
+        """CorrectLoop (LoopClosing.cc:969): set the corrected current pose,
+        then optimize the essential graph with the loop edge and re-anchor
+        landmarks."""
+        R12, t12, s12 = S12  # S12: loop-KF-camera <- current-KF-camera? No:
+        # match_kf_landmarks returned (p_cur_cam, p_loop_cam); sim3 maps
+        # loop-cam points INTO the current camera: p_cur ~ S12 p_loop.
+        K = m.max_kf
+        old_R, old_t = m.kf_R, m.kf_t
+        s_ones = jnp.ones(K, jnp.float32)
+
+        # corrected current pose: p_cur ~ S12 p_loop, so
+        # S_cur_w(corrected) = S12 o T_loop_w (the loop KF is trusted)
+        Rl, tl = m.kf_R[kf_loop], m.kf_t[kf_loop]
+        Rc_new, tc_new, sc_new = lie.sim3_compose(
+            R12, t12, s12, Rl, tl, jnp.float32(1.0))
+
+        # edge list + the loop edge with the corrected relative measurement
+        e_i, e_j, e_valid = essential_edges(m)
+        Rrel, trel, srel = pose_graph.relative_sim3(
+            Rc_new, tc_new, sc_new, Rl, tl, jnp.float32(1.0))
+        # append loop edge (i=loop, j=cur): S_j S_i^-1 = Scur Sloop^-1
+        e_i = jnp.concatenate([e_i, jnp.asarray([kf_loop], jnp.int32)])
+        e_j = jnp.concatenate([e_j, jnp.asarray([kf_cur], jnp.int32)])
+        e_valid = jnp.concatenate([e_valid, jnp.asarray([True])])
+        e_R = jnp.concatenate([
+            jax.vmap(lambda i, j: pose_graph.relative_sim3(
+                m.kf_R[j], m.kf_t[j], jnp.float32(1.0),
+                m.kf_R[i], m.kf_t[i], jnp.float32(1.0))[0])(e_i[:-1], e_j[:-1]),
+            Rrel[None]])
+        e_t = jnp.concatenate([
+            jax.vmap(lambda i, j: pose_graph.relative_sim3(
+                m.kf_R[j], m.kf_t[j], jnp.float32(1.0),
+                m.kf_R[i], m.kf_t[i], jnp.float32(1.0))[1])(e_i[:-1], e_j[:-1]),
+            trel[None]])
+        e_s = jnp.concatenate([
+            jnp.ones(e_i.shape[0] - 1, jnp.float32), srel[None].reshape(1)])
+
+        fixed = jnp.zeros(K, bool).at[kf_loop].set(True)
+        # seed the current KF at its corrected pose so the graph pulls the
+        # rest of the trajectory toward the loop closure
+        kf_R0 = m.kf_R.at[kf_cur].set(Rc_new)
+        kf_t0 = m.kf_t.at[kf_cur].set(tc_new)
+        kf_s0 = s_ones.at[kf_cur].set(sc_new)
+
+        new_R, new_t, new_s = pose_graph.optimize_pose_graph(
+            kf_R0, kf_t0, kf_s0, m.kf_valid, fixed,
+            e_i, e_j, e_R, e_t, e_s, e_valid, mode="sim3", n_iters=15)
+        return apply_pose_graph_result(m, new_R, new_t, new_s, old_R, old_t)
