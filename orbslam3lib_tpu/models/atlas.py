@@ -73,7 +73,7 @@ def merge_into(dst: ms.MapState, src: ms.MapState) -> ms.MapState:
 
     def sc(dst_arr, src_arr, tgt, ok):
         vals = jnp.where(ok.reshape(ok.shape + (1,) * (src_arr.ndim - 1)),
-                         src_arr, 0)
+                         src_arr, jnp.zeros_like(src_arr))
         return dst_arr.at[tgt].set(vals, mode="drop")
 
     out = dst._replace(
