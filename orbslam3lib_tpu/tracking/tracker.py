@@ -1,23 +1,29 @@
-"""Stereo tracker: per-frame front end + keyframing + synchronous local
-mapping, orchestrated on the host with all math in a few jitted graphs.
+"""The tracking front end + synchronous local mapping, orchestrated on the
+host with all math in a few jitted graphs.
 
 TPU-native re-design of the reference's Tracking state machine
 (/root/reference app/src/main/cpp/src/Tracking.cc:1847-2388 Track();
 TrackWithMotionModel:2912; TrackLocalMap:3007; NeedNewKeyFrame:3125;
-CreateNewKeyFrame:3277; StereoInitialization:2391) and of LocalMapping's
-synchronous core (LocalMapping.cc:64-288). Mapping of concepts:
+CreateNewKeyFrame:3277; StereoInitialization:2391;
+MonocularInitialization:2505; Relocalization:3670; CreateMapInAtlas:2720;
+PreintegrateIMU:1677; PredictStateIMU:1791) and of LocalMapping's synchronous
+core (LocalMapping.cc:64-288, InitializeIMU:1196). Concept mapping:
 
   reference                      ->  here
   ------------------------------------------------------------------
   motion-model projection search ->  stage-1 search_by_projection (r=7)
   TrackLocalMap                  ->  stage-2 search (r=3) + pose LM
   g2o PoseOptimization           ->  tracking/pose_opt.py (one jit)
-  covisibility local-BA window   ->  temporal+covisible KF window gathered
-                                     into a fixed-shape BAProblem
-  MapPoint culling statistics    ->  mp_found / mp_visible array updates
+  PoseInertialOptimization*      ->  tracking/inertial_opt.py
+  TwoViewReconstruction          ->  mapping/twoview.py (mono init)
+  Relocalization (MLPnP RANSAC)  ->  tracking/reloc.py (batched P6P)
+  Atlas::CreateNewMap on loss    ->  models/atlas.py
+  LocalMapping + LoopClosing     ->  mapping/{local_mapping,loop_closing}.py
+  REGISTER_TIMES                 ->  utils/timing.StageTimer
 
-The per-frame device work is three jitted calls (extract, track, [keyframe +
-BA when a KF is spawned]); everything else is scalar host bookkeeping.
+Sensors: "stereo", "mono", optionally + IMU (cfg.use_imu). The per-frame
+device work is a handful of jitted calls; scalar state-machine logic stays on
+the host.
 """
 from __future__ import annotations
 
@@ -30,13 +36,19 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SlamConfig
+from ..mapping import local_mapping as lm_ops
 from ..mapping.local_ba import BAProblem, bundle_adjust
 from ..models import map_state as ms
+from ..models.atlas import Atlas, transform_map
 from ..ops.extractor import Features, ThresholdController, extract_orb_stereo
 from ..ops.pyramid import scale_factors
+from ..tracking import imu as imu_mod
 from ..tracking import matching
+from ..tracking.inertial_opt import InertialFrameState, inertial_init_optimization, \
+    pose_inertial_optimization
 from ..tracking.pose_opt import PoseObs, pose_optimization
 from ..utils import cameras, lie
+from ..utils.timing import StageTimer, Verbose
 
 # Tracking states (Tracking.h eTrackingState)
 NOT_INITIALIZED = 0
@@ -83,12 +95,13 @@ def _track_two_stage(m: ms.MapState, R0, t0, feat_xy, feat_level, feat_desc,
         R2, t2, inl, n_inl = pose_optimization(
             R, t, obs, cam_params, cam_model=cam_model, bf=bf,
             n_rounds=rounds, iters_per_round=iters)
-        return R2, t2, pm, inl, n_inl
+        return R2, t2, pm, inl, n_inl, obs
 
-    R1, t1, _, _, _ = one_stage(R0, t0, r_coarse, pose_rounds, pose_iters)
-    R2, t2, pm, inl, n_inl = one_stage(R1, t1, r_fine, pose_rounds, pose_iters)
+    R1, t1, _, _, _, _ = one_stage(R0, t0, r_coarse, pose_rounds, pose_iters)
+    R2, t2, pm, inl, n_inl, obs = one_stage(R1, t1, r_fine, pose_rounds, pose_iters)
     mp_feat = jnp.where(inl, pm.mp_feat, -1)
-    return R2, t2, mp_feat, inl, jnp.sum((mp_feat >= 0).astype(jnp.int32)), pm.visible
+    return (R2, t2, mp_feat, inl,
+            jnp.sum((mp_feat >= 0).astype(jnp.int32)), pm.visible, obs)
 
 
 @jax.jit
@@ -200,16 +213,65 @@ def _local_ba(m: ms.MapState, window_ids, fixed_mask, cam_params, bf,
     return m
 
 
-class StereoTracker:
-    """Host-side orchestration of the full stereo SLAM loop."""
+@partial(jax.jit, static_argnames=("cam_model", "n_levels"))
+def _mono_init_map(m: ms.MapState, ts0, ts1, xy0, lvl0, desc0, fv0,
+                   xy1, lvl1, desc1, fv1, match_idx, tri_ok, R21, t21, p3d,
+                   cam_params, cam_model: int, n_levels: int):
+    """Create the initial monocular map from a successful two-view
+    reconstruction (CreateInitialMapMonocular, Tracking.cc:2604): two
+    keyframes, landmarks at the triangulated points, median-depth
+    normalization of scale."""
+    F = xy0.shape[0]
+    med_depth = jnp.median(jnp.where(tri_ok, p3d[:, 2], jnp.nan))
+    med_depth = jnp.nan_to_num(med_depth, nan=1.0)
+    inv_md = 1.0 / jnp.maximum(med_depth, 1e-6)
+    p3d_n = p3d * inv_md
+    t21_n = t21 * inv_md
 
-    def __init__(self, cfg: SlamConfig):
+    R0 = jnp.eye(3, dtype=jnp.float32)
+    t0 = jnp.zeros(3, jnp.float32)
+    m, kf0 = ms.insert_keyframe(m, R0, t0, ts0, xy0, lvl0, desc0, fv0,
+                                jnp.full(F, -1, jnp.int32),
+                                jnp.zeros(F, jnp.float32))
+    m, kf1 = ms.insert_keyframe(m, R21, t21_n, ts1, xy1, lvl1, desc1, fv1,
+                                jnp.full(F, -1, jnp.int32),
+                                jnp.zeros(F, jnp.float32))
+    # spawn landmarks bound to kf0 slots
+    dist = jnp.linalg.norm(p3d_n, axis=-1)
+    normal = p3d_n / jnp.maximum(dist[:, None], 1e-9)
+    sf = jnp.asarray(scale_factors(n_levels))
+    lvl_s = sf[jnp.clip(lvl0, 0, n_levels - 1)]
+    max_dist = dist * lvl_s
+    min_dist = max_dist / sf[n_levels - 1]
+    m = ms.spawn_mappoints(m, kf0, p3d_n, desc0, normal, min_dist, max_dist,
+                           tri_ok, jnp.arange(F))
+    # bind second-view observations
+    new_ids = m.kf_mp[kf0]
+    row1 = m.kf_mp[kf1]
+    f1 = jnp.clip(match_idx, 0, F - 1)
+    bind = tri_ok & (match_idx >= 0)
+    tgt = jnp.where(bind, f1, F)
+    row1 = row1.at[tgt].set(jnp.where(bind, new_ids, -1), mode="drop")
+    row1 = jnp.where(row1 >= 0, row1, m.kf_mp[kf1])
+    m = m._replace(kf_mp=m.kf_mp.at[kf1].set(row1))
+    return m, kf1, R21, t21_n
+
+
+class Tracker:
+    """Host-side orchestration of the full SLAM loop (multi-sensor)."""
+
+    def __init__(self, cfg: SlamConfig, sensor: str = "stereo",
+                 vocabulary=None, enable_loop_closing: bool = True,
+                 enable_timing: bool = False):
+        assert sensor in ("stereo", "mono")
         self.cfg = cfg
+        self.sensor = sensor
         mc = cfg.map
-        self.map = ms.empty_map(mc.max_kf, mc.max_mp, cfg.orb.max_kp)
+        self.atlas = Atlas(mc.max_kf, mc.max_mp, cfg.orb.max_kp)
         self.threshold = ThresholdController(
             target=cfg.orb.target_features, band=cfg.orb.threshold_band,
             t0=cfg.orb.fast_threshold)
+        self.timer = StageTimer(enabled=enable_timing)
         self.state = NOT_INITIALIZED
         self.pose: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None  # Tcw
         self.vel: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
@@ -220,36 +282,123 @@ class StereoTracker:
         self.trajectory: List[Tuple[float, np.ndarray, np.ndarray]] = []
         self.n_inliers_last = 0
         self.cam_params = jnp.asarray(cfg.camera.params)
-        self.stats = {"n_kf": 0, "n_frames": 0, "track_fail": 0}
+        self.stats = {"n_kf": 0, "n_frames": 0, "track_fail": 0,
+                      "n_reloc": 0, "n_new_maps": 0, "n_loops": 0}
+        self.lost_since: Optional[float] = None
+        # mono init state
+        self._init_frame = None
+        # place recognition + loop closing (lazy: vocabulary may come later)
+        self.place_rec = None
+        self.loop_closer = None
+        self.enable_loop_closing = enable_loop_closing
+        if vocabulary is not None:
+            self._setup_place_rec(vocabulary)
+        # IMU state
+        self.imu_ready = False
+        self.imu_bias = (jnp.zeros(3), jnp.zeros(3))
+        self.frame_state_v = jnp.zeros(3)
+        self._pre_frame = None       # preintegration since last frame
+        self._pre_kf = None          # preintegration since last KF
+        self._kf_preints: List = []  # per-KF-gap preintegrations for init
+        self._kf_times: List[float] = []
+        self.anchor_state: Optional[InertialFrameState] = None
+
+    # -- plumbing -----------------------------------------------------------
+    @property
+    def map(self) -> ms.MapState:
+        return self.atlas.current_map
+
+    @map.setter
+    def map(self, m: ms.MapState):
+        self.atlas.current_map = m
+
+    def _setup_place_rec(self, voc):
+        from ..mapping.loop_closing import LoopCloser
+        from .reloc import PlaceRecognition
+        self.place_rec = PlaceRecognition(voc, self.cfg.map.max_kf)
+        if self.enable_loop_closing:
+            self.loop_closer = LoopCloser(self.cfg, self.place_rec)
+
+    def _ensure_place_rec(self, desc_bits):
+        """Train a vocabulary from the first frames' descriptors if none was
+        provided (the reference ships a pre-trained file; SURVEY.md §2.3)."""
+        if self.place_rec is None:
+            from ..models.vocabulary import train_vocabulary
+            d = np.asarray(desc_bits)
+            rng = np.random.default_rng(0)
+            extra = rng.integers(0, 2, size=(2048, 256)).astype(np.int8)
+            voc = train_vocabulary(np.concatenate([d, extra]), k=8, depth=3)
+            self._setup_place_rec(voc)
+
+    # -- IMU ----------------------------------------------------------------
+    def feed_imu(self, gyro: np.ndarray, acc: np.ndarray, dts: np.ndarray):
+        """Queue IMU samples since the previous frame (GrabImuData +
+        PreintegrateIMU). Called before process_frame."""
+        if not self.cfg.use_imu:
+            return
+        cfgi = self.cfg.imu
+        sg = jnp.float32(cfgi.noise_gyro * np.sqrt(cfgi.freq))
+        sa = jnp.float32(cfgi.noise_acc * np.sqrt(cfgi.freq))
+        bg, ba = self.imu_bias
+        if self._pre_frame is None:
+            self._pre_frame = imu_mod.empty_preintegrated(bg, ba)
+        if self._pre_kf is None:
+            self._pre_kf = imu_mod.empty_preintegrated(bg, ba)
+        g = jnp.asarray(gyro, dtype=jnp.float32)
+        a = jnp.asarray(acc, dtype=jnp.float32)
+        d = jnp.asarray(dts, dtype=jnp.float32)
+        v = jnp.ones(len(dts), bool)
+        self._pre_frame = imu_mod.integrate(self._pre_frame, g, a, d, v, sg, sa)
+        self._pre_kf = imu_mod.integrate(self._pre_kf, g, a, d, v, sg, sa)
 
     # -- per-frame entry ----------------------------------------------------
-    def process_frame(self, img_pair: np.ndarray, ts: float) -> dict:
+    def process_frame(self, img, ts: float) -> dict:
+        """img: (2,H,W) stereo pair or (H,W) mono image."""
         cfg = self.cfg
-        feats = extract_orb_stereo(
-            jnp.asarray(img_pair), jnp.float32(self.threshold.t),
-            max_kp=cfg.orb.max_kp, n_levels=cfg.orb.n_levels)
-        u_r, depth = matching.match_rectified_stereo(
-            feats.xy[0], feats.level[0], feats.desc[0], feats.valid[0],
-            feats.xy[1], feats.level[1], feats.desc[1], feats.valid[1],
-            float(cfg.bf), float(cfg.stereo.min_z),
-            n_levels=cfg.orb.n_levels)
+        if img.ndim == 2:
+            img = img[None]
+        with self.timer.stage("extract"):
+            feats = extract_orb_stereo(
+                jnp.asarray(img), jnp.float32(self.threshold.t),
+                max_kp=cfg.orb.max_kp, n_levels=cfg.orb.n_levels)
+            jax.block_until_ready(feats.xy)
+        if self.sensor == "stereo":
+            with self.timer.stage("stereo_match"):
+                u_r, depth = matching.match_rectified_stereo(
+                    feats.xy[0], feats.level[0], feats.desc[0], feats.valid[0],
+                    feats.xy[1], feats.level[1], feats.desc[1], feats.valid[1],
+                    float(cfg.bf), float(cfg.stereo.min_z),
+                    n_levels=cfg.orb.n_levels)
+        else:
+            F = cfg.orb.max_kp
+            u_r = jnp.full(F, -1.0)
+            depth = jnp.zeros(F)
         n_feat = int(feats.n_valid[0])
         self.threshold.update(n_feat)
 
         if self.state == NOT_INITIALIZED:
             out = self._initialize(feats, u_r, depth, ts, n_feat)
+        elif self.state in (OK, RECENTLY_LOST):
+            with self.timer.stage("track"):
+                out = self._track(feats, u_r, depth, ts, n_feat)
         else:
-            out = self._track(feats, u_r, depth, ts, n_feat)
+            out = {"state": self.state, "n_inliers": 0}
 
         self.frame_id += 1
         self.stats["n_frames"] += 1
+        self._pre_frame = None  # consumed (re-created at next feed_imu)
         if self.pose is not None:
             R, t = self.pose
             self.trajectory.append((ts, np.array(R), np.array(t)))
         return out
 
-    # -- initialization (StereoInitialization, Tracking.cc:2391) ------------
+    # -- initialization -----------------------------------------------------
     def _initialize(self, feats: Features, u_r, depth, ts, n_feat) -> dict:
+        if self.sensor == "stereo":
+            return self._initialize_stereo(feats, u_r, depth, ts, n_feat)
+        return self._initialize_mono(feats, ts, n_feat)
+
+    def _initialize_stereo(self, feats, u_r, depth, ts, n_feat) -> dict:
         cfg = self.cfg
         if n_feat < cfg.tracker.min_init_features:
             return {"state": self.state, "n_inliers": 0}
@@ -263,24 +412,93 @@ class StereoTracker:
             feats.desc[0], feats.valid[0], u_r, depth, mp_feat0,
             self.cam_params, jnp.float32(1e9),
             cam_model=cfg.camera.model_id, n_levels=cfg.orb.n_levels)
+        self._post_init(kf_id, int(self.map.n_mp), ts, feats)
+        return {"state": OK, "n_inliers": int(self.map.n_mp), "init": True}
+
+    def _initialize_mono(self, feats, ts, n_feat) -> dict:
+        cfg = self.cfg
+        if n_feat < 100:
+            self._init_frame = None
+            return {"state": self.state, "n_inliers": 0}
+        cur = (jnp.float32(ts), feats.xy[0], feats.level[0], feats.desc[0],
+               feats.valid[0])
+        if self._init_frame is None:
+            self._init_frame = cur
+            return {"state": self.state, "n_inliers": 0}
+
+        ts0, xy0, lvl0, desc0, fv0 = self._init_frame
+        idx, ok = matching.match_descriptors_ratio(desc0, fv0, feats.desc[0],
+                                                   feats.valid[0],
+                                                   th=50.0, ratio=0.9)
+        if int(jnp.sum(ok)) < 100:   # Tracking.cc:2548: >=100 matches
+            self._init_frame = cur
+            return {"state": self.state, "n_inliers": 0}
+        F = xy0.shape[0]
+        uv1 = xy0
+        uv2 = feats.xy[0][jnp.clip(idx, 0, F - 1)]
+        from ..mapping.twoview import reconstruct_two_views
+        out = reconstruct_two_views(uv1, uv2, ok, self.cam_params)
+        if not bool(out["success"]):
+            return {"state": self.state, "n_inliers": 0}
+
+        self.map, kf1, R, t = _mono_init_map(
+            self.map, ts0, jnp.float32(ts), xy0, lvl0, desc0, fv0,
+            feats.xy[0], feats.level[0], feats.desc[0], feats.valid[0],
+            idx, out["tri_ok"] & ok, out["R"], out["t"], out["p3d"],
+            self.cam_params, cam_model=cfg.camera.model_id,
+            n_levels=cfg.orb.n_levels)
         self.pose = (R, t)
-        self.vel = (jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, dtype=jnp.float32))
+        n_mp = int(self.map.n_mp)
+        self._post_init(kf1, n_mp, ts, feats)
+        # full BA over the initial two keyframes (GlobalBundleAdjustemnt(20))
+        ids = np.full(cfg.ba.window_size + cfg.ba.n_fixed, -1, np.int32)
+        ids[0], ids[1] = 0, 1
+        fixed = np.zeros(len(ids), bool)
+        fixed[0] = True
+        self.map = _local_ba(self.map, jnp.asarray(ids), jnp.asarray(fixed),
+                             self.cam_params, jnp.float32(cfg.bf),
+                             cam_model=cfg.camera.model_id,
+                             n_ba_points=cfg.ba.max_points, n_iters=20)
+        self.pose = (self.map.kf_R[int(kf1)], self.map.kf_t[int(kf1)])
+        self._init_frame = None
+        return {"state": OK, "n_inliers": n_mp, "init": True}
+
+    def _post_init(self, kf_id, n_mp, ts, feats):
+        if self.pose is None:
+            self.pose = (jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32))
+        self.vel = (jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32))
         self.state = OK
         self.last_kf_frame = self.frame_id
         self.last_kf_id = int(kf_id)
-        n_mp = int(self.map.n_mp)
         self.ref_kf_matches = n_mp
         self.stats["n_kf"] += 1
-        return {"state": OK, "n_inliers": n_mp, "init": True}
+        self.lost_since = None
+        self._ensure_place_rec(feats.desc[0])
+        self.place_rec.add(int(kf_id), self.map.kf_desc[int(kf_id)],
+                           self.map.kf_feat_valid[int(kf_id)])
+        self._note_kf_imu(ts)
 
     # -- per-frame tracking -------------------------------------------------
+    def _predict_pose(self):
+        R_last, t_last = self.pose
+        if self.cfg.use_imu and self.imu_ready and self._pre_frame is not None \
+                and float(self._pre_frame.dt) > 0:
+            bg, ba = self.imu_bias
+            Rwb, p_w = lie.se3_inverse(R_last, t_last)
+            R2, v2, p2 = imu_mod.predict_state(Rwb, self.frame_state_v, p_w,
+                                               self._pre_frame, bg, ba)
+            Rcw = jnp.swapaxes(R2, -1, -2)
+            return Rcw, -Rcw @ p2, v2
+        Rv, tv = self.vel
+        R0, t0 = lie.se3_compose(Rv, tv, R_last, t_last)
+        return R0, t0, self.frame_state_v
+
     def _track(self, feats: Features, u_r, depth, ts, n_feat) -> dict:
         cfg = self.cfg
         R_last, t_last = self.pose
-        Rv, tv = self.vel
-        R0, t0 = lie.se3_compose(Rv, tv, R_last, t_last)
+        R0, t0, v_pred = self._predict_pose()
 
-        R, t, mp_feat, inl, n_inl, visible = _track_two_stage(
+        R, t, mp_feat, inl, n_inl, visible, obs = _track_two_stage(
             self.map, R0, t0, feats.xy[0], feats.level[0], feats.desc[0],
             feats.valid[0], u_r, depth, self.cam_params, float(cfg.bf),
             float(cfg.tracker.match_radius_coarse),
@@ -292,34 +510,114 @@ class StereoTracker:
         n_inliers = int(n_inl)
         self.map = _update_mp_stats(self.map, visible, mp_feat >= 0)
 
-        if n_inliers < cfg.tracker.min_inliers:
-            # tracking failure: keep the prediction, flag state
-            self.stats["track_fail"] += 1
-            self.state = RECENTLY_LOST
-            self.pose = (R0, t0)
-            return {"state": self.state, "n_inliers": n_inliers}
+        # visual-inertial refinement (PoseInertialOptimizationLastFrame)
+        if self.cfg.use_imu and self.imu_ready and self.anchor_state is not None \
+                and self._pre_frame is not None and float(self._pre_frame.dt) > 0 \
+                and n_inliers >= cfg.tracker.min_inliers:
+            bg, ba = self.imu_bias
+            cur = InertialFrameState(R=R, t=t, v=v_pred, bg=bg, ba=ba)
+            st, inl_m, n2 = pose_inertial_optimization(
+                cur, self.anchor_state, self._pre_frame, obs, self.cam_params,
+                cam_model=cfg.camera.model_id, bf=float(cfg.bf))
+            R, t = st.R, st.t
+            self.frame_state_v = st.v
+            self.imu_bias = (st.bg, st.ba)
+            n_inliers = max(n_inliers, int(n2))
+        else:
+            # finite-difference velocity estimate for the IMU state
+            Rwb, p_w = lie.se3_inverse(R, t)
+            Rwb_l, p_l = lie.se3_inverse(R_last, t_last)
+            dt_f = max(ts - (self.trajectory[-1][0] if self.trajectory else ts - 0.05), 1e-3)
+            self.frame_state_v = (p_w - p_l) / dt_f
 
+        min_inl = cfg.tracker.min_inliers
+        if n_inliers < min_inl:
+            return self._handle_loss(feats, ts)
+
+        if self.state == RECENTLY_LOST:
+            Verbose.log(f"[tracker] recovered with {n_inliers} inliers")
         self.state = OK
+        self.lost_since = None
         # velocity model update (Tcw_cur * Twc_last)
         Ri, ti = lie.se3_inverse(R_last, t_last)
         self.vel = lie.se3_compose(R, t, Ri, ti)
         self.pose = (R, t)
         self.n_inliers_last = n_inliers
+        # update inertial anchor every frame when IMU is live
+        if self.cfg.use_imu and self.imu_ready:
+            bg, ba = self.imu_bias
+            self.anchor_state = InertialFrameState(
+                R=R, t=t, v=self.frame_state_v, bg=bg, ba=ba)
+            self._pre_frame = None
 
         made_kf = False
-        if self._need_new_keyframe(n_inliers, feats, mp_feat, depth):
-            self._create_keyframe(feats, u_r, depth, mp_feat, ts, n_inliers)
+        if self._need_new_keyframe(n_inliers, feats, mp_feat, depth, ts):
+            with self.timer.stage("keyframe"):
+                self._create_keyframe(feats, u_r, depth, mp_feat, ts, n_inliers)
             made_kf = True
         return {"state": OK, "n_inliers": n_inliers, "kf": made_kf}
 
+    # -- loss handling (Tracking.cc:2034-2076) ------------------------------
+    def _handle_loss(self, feats: Features, ts: float) -> dict:
+        cfg = self.cfg
+        self.stats["track_fail"] += 1
+        if self.state == OK:
+            self.state = RECENTLY_LOST
+            self.lost_since = ts
+            Verbose.log("[tracker] tracking lost, RECENTLY_LOST")
+        # try relocalization against the keyframe database
+        n_rel = 0
+        if self.place_rec is not None:
+            from .reloc import relocalize_against_kf
+            ids, scores = self.place_rec.query(feats.desc[0], feats.valid[0],
+                                               n_best=3)
+            for k in np.asarray(ids):
+                k = int(k)
+                if k < 0:
+                    continue
+                R, t, n_inl = relocalize_against_kf(
+                    self.map.mp_pos, self.map.mp_valid, self.map.kf_mp[k],
+                    self.map.kf_desc[k], self.map.kf_feat_valid[k],
+                    feats.xy[0], feats.desc[0], feats.valid[0],
+                    self.cam_params, cam_model=cfg.camera.model_id)
+                n_rel = int(n_inl)
+                if n_rel >= 40:   # reference: nGood >= 50 post-refine
+                    self.pose = (R, t)
+                    self.vel = (jnp.eye(3, dtype=jnp.float32),
+                                jnp.zeros(3, jnp.float32))
+                    self.state = OK
+                    self.lost_since = None
+                    self.stats["n_reloc"] += 1
+                    Verbose.log(f"[tracker] relocalized ({n_rel} inliers)")
+                    return {"state": OK, "n_inliers": n_rel, "reloc": True}
+        # timeout -> LOST -> new map (CreateMapInAtlas) if map is big enough
+        if self.lost_since is not None and ts - self.lost_since > 5.0:
+            if int(self.map.n_kf) > 10:
+                self.atlas.create_new_map()
+                self.stats["n_new_maps"] += 1
+                Verbose.log("[tracker] spawning new map in atlas")
+            self.state = NOT_INITIALIZED
+            self.pose = None
+            self._init_frame = None
+            self.imu_ready = False
+            self._kf_preints, self._kf_times = [], []
+        return {"state": self.state, "n_inliers": 0}
+
     # -- keyframe policy (NeedNewKeyFrame, Tracking.cc:3125) ----------------
-    def _need_new_keyframe(self, n_inliers, feats: Features, mp_feat, depth) -> bool:
+    def _need_new_keyframe(self, n_inliers, feats: Features, mp_feat, depth,
+                           ts: float) -> bool:
         cfg = self.cfg
         if int(self.map.n_kf) >= self.map.max_kf - 1:
             return False
+        # c3: inertial maps need dense keyframes — every 0.25 s before IMU
+        # init, 0.5 s after (Tracking.cc:3125 pre-init clause + c3)
+        if self.cfg.use_imu and self._kf_times:
+            gap = ts - self._kf_times[-1]
+            if (not self.imu_ready and gap >= 0.25) or \
+                    (self.imu_ready and gap >= 0.5):
+                return True
         frames_since = self.frame_id - self.last_kf_frame
         close_th = cfg.stereo.depth_factor * cfg.stereo.baseline
-        # close-point pressure (c1c): tracked/untracked close features
         f_of_mp = np.asarray(mp_feat)
         tracked_slots = np.unique(f_of_mp[f_of_mp >= 0])
         d = np.asarray(depth)
@@ -334,18 +632,22 @@ class StereoTracker:
         # idle" becomes a min-frame spacing since our mapper is synchronous)
         c1a = frames_since >= cfg.tracker.max_frames_between_kf
         c1b = frames_since >= max(cfg.tracker.min_frames_between_kf, 1)
-        c1c = (n_close_tracked < cfg.tracker.close_tracked_th
-               and n_close_untracked > cfg.tracker.close_untracked_th)
-        c2 = (n_inliers < cfg.tracker.kf_ref_ratio * max(self.ref_kf_matches, 1)
+        c1c = self.sensor == "stereo" and \
+            (n_close_tracked < cfg.tracker.close_tracked_th
+             and n_close_untracked > cfg.tracker.close_untracked_th)
+        ratio = cfg.tracker.kf_ref_ratio if self.sensor == "stereo" else 0.9
+        c2 = (n_inliers < ratio * max(self.ref_kf_matches, 1)
               and n_inliers > 15)
         return bool(((c1a or c1b or c1c) and c2) or (c1c and c1b))
 
-    # -- keyframe creation + local BA ---------------------------------------
+    # -- keyframe creation + local mapping ----------------------------------
     def _create_keyframe(self, feats: Features, u_r, depth, mp_feat, ts,
                          n_inliers):
         cfg = self.cfg
         R, t = self.pose
         close_depth = jnp.float32(cfg.stereo.depth_factor * cfg.stereo.baseline)
+        if self.sensor == "mono":
+            close_depth = jnp.float32(-1.0)  # no depth spawning
         self.map, kf_id = _insert_kf_and_spawn(
             self.map, R, t, jnp.float32(ts), feats.xy[0], feats.level[0],
             feats.desc[0], feats.valid[0], u_r, depth, mp_feat,
@@ -355,19 +657,37 @@ class StereoTracker:
         self.last_kf_id = int(kf_id)
         self.ref_kf_matches = max(n_inliers, 1)
         self.stats["n_kf"] += 1
+        kid = int(kf_id)
 
         # local-mapping pipeline (LocalMapping::Run order, LocalMapping.cc:64):
-        # cull young landmarks -> triangulate with covisible neighbors ->
-        # fuse duplicates -> local BA -> cull redundant keyframes
-        from ..mapping import local_mapping as lm
-        kid = int(kf_id)
-        self.map = lm.cull_mappoints(self.map, jnp.int32(kid))
-        for nb in range(max(0, kid - 2), kid):
-            self.map, n_new = lm.triangulate_pair(
-                self.map, jnp.int32(kid), jnp.int32(nb), self.cam_params,
-                cam_model=cfg.camera.model_id, n_levels=cfg.orb.n_levels)
+        # cull young landmarks -> triangulate with neighbors -> local BA
+        with self.timer.stage("local_mapping"):
+            self.map = lm_ops.cull_mappoints(self.map, jnp.int32(kid))
+            for nb in range(max(0, kid - 2), kid):
+                self.map, n_new = lm_ops.triangulate_pair(
+                    self.map, jnp.int32(kid), jnp.int32(nb), self.cam_params,
+                    cam_model=cfg.camera.model_id, n_levels=cfg.orb.n_levels)
 
-        # synchronous local BA over the trailing window
+        with self.timer.stage("local_ba"):
+            self._run_local_ba(kid)
+
+        # place recognition + loop closing
+        if self.place_rec is not None:
+            self.place_rec.add(kid, self.map.kf_desc[kid],
+                               self.map.kf_feat_valid[kid])
+            if self.loop_closer is not None:
+                with self.timer.stage("loop_closing"):
+                    n_before = self.loop_closer.n_loops
+                    self.map = self.loop_closer.on_keyframe(
+                        self.map, kid, self.cam_params)
+                    if self.loop_closer.n_loops > n_before:
+                        self.stats["n_loops"] += 1
+                        self.pose = (self.map.kf_R[kid], self.map.kf_t[kid])
+
+        self._note_kf_imu(ts)
+
+    def _run_local_ba(self, kf_id: int):
+        cfg = self.cfg
         n_kf = int(self.map.n_kf)
         C = cfg.ba.window_size + cfg.ba.n_fixed
         ids = np.full(C, -1, np.int32)
@@ -384,8 +704,55 @@ class StereoTracker:
                 self.cam_params, jnp.float32(cfg.bf),
                 cam_model=cfg.camera.model_id,
                 n_ba_points=cfg.ba.max_points, n_iters=cfg.ba.n_iters)
-            # refresh the tracker pose to the BA-refined latest KF pose
             self.pose = (self.map.kf_R[kf_id], self.map.kf_t[kf_id])
+
+    # -- IMU initialization staging (LocalMapping::InitializeIMU) -----------
+    def _note_kf_imu(self, ts: float):
+        if not self.cfg.use_imu:
+            return
+        if self._pre_kf is not None and float(self._pre_kf.dt) > 0 and \
+                len(self._kf_times) > 0:
+            self._kf_preints.append(self._pre_kf)
+        self._kf_times.append(ts)
+        bg, ba = self.imu_bias
+        self._pre_kf = imu_mod.empty_preintegrated(bg, ba)
+        if (not self.imu_ready and len(self._kf_preints) >= 6
+                and self._kf_times[-1] - self._kf_times[0] >= 1.0):
+            self._initialize_imu()
+
+    def _initialize_imu(self):
+        """Gravity/bias/scale estimation over the KF window + map alignment
+        (InitializeIMU, LocalMapping.cc:1196)."""
+        m = self.map
+        n_kf = int(m.n_kf)
+        k_ids = list(range(max(0, n_kf - len(self._kf_preints) - 1), n_kf))
+        if len(k_ids) < 2 or len(self._kf_preints) < len(k_ids) - 1:
+            return
+        pres = self._kf_preints[-(len(k_ids) - 1):]
+        pres_stack = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *pres)
+        opt_scale = self.sensor == "mono"
+        R_wg, bg, ba, s, v = inertial_init_optimization(
+            m.kf_R[jnp.asarray(k_ids)], m.kf_t[jnp.asarray(k_ids)],
+            jnp.ones(len(k_ids), bool), pres_stack,
+            jnp.ones(len(k_ids) - 1, bool), opt_scale=opt_scale)
+        s_f = float(s)
+        if opt_scale and (s_f < 0.1):   # scale sanity abort (LocalMapping.cc)
+            return
+        # align gravity: rotate the world by R_gw = R_wg^T (+ scale for mono)
+        Rgw = jnp.swapaxes(R_wg, -1, -2)
+        self.map = transform_map(m, Rgw, jnp.zeros(3),
+                                 jnp.float32(s_f if opt_scale else 1.0))
+        self.imu_bias = (bg, ba)
+        self.frame_state_v = Rgw @ v[-1]
+        self.imu_ready = True
+        # re-anchor current pose from the transformed map
+        self.pose = (self.map.kf_R[self.last_kf_id],
+                     self.map.kf_t[self.last_kf_id])
+        bg_, ba_ = self.imu_bias
+        self.anchor_state = InertialFrameState(
+            R=self.pose[0], t=self.pose[1], v=self.frame_state_v,
+            bg=bg_, ba=ba_)
+        Verbose.log(f"[tracker] IMU initialized (scale {s_f:.3f})")
 
     # -- outputs ------------------------------------------------------------
     def trajectory_centers(self) -> np.ndarray:
@@ -393,3 +760,13 @@ class StereoTracker:
         for ts, R, t in self.trajectory:
             out.append(-R.T @ t)
         return np.stack(out) if out else np.zeros((0, 3))
+
+    def trajectory_poses(self):
+        return [(ts, (R, t)) for ts, R, t in self.trajectory]
+
+
+# Backwards-compatible alias (round-1 API)
+class StereoTracker(Tracker):
+    def __init__(self, cfg: SlamConfig, **kw):
+        kw.setdefault("enable_loop_closing", False)
+        super().__init__(cfg, sensor="stereo", **kw)
