@@ -171,7 +171,8 @@ def _schur_solve(Hcc, Hpp, W, b_c, b_p, free_cam, free_pt, lm_lambda):
     return dx_c, dx_p
 
 
-@partial(jax.jit, static_argnames=("cam_model", "n_iters"))
+@partial(jax.jit, static_argnames=("cam_model", "bf", "n_iters",
+                                   "lm_lambda", "chi2_gate_after"))
 def bundle_adjust(prob: BAProblem, cam_params,
                   cam_model: int = cameras.PINHOLE, bf: float = 0.0,
                   n_iters: int = 10, lm_lambda: float = 1e-4,

@@ -113,10 +113,10 @@ def _update_mp_stats(m: ms.MapState, visible, found):
     )
 
 
-@partial(jax.jit, static_argnames=("cam_model", "n_levels"))
+@partial(jax.jit, static_argnames=("close_depth", "cam_model", "n_levels"))
 def _insert_kf_and_spawn(m: ms.MapState, R, t, ts, feat_xy, feat_level,
                          feat_desc, feat_valid, u_right, depth, mp_feat,
-                         cam_params, close_depth, cam_model: int,
+                         cam_params, close_depth: float, cam_model: int,
                          n_levels: int):
     """Insert a keyframe; bind tracked landmarks; spawn new close-stereo
     landmarks for unmatched features (CreateNewKeyFrame, Tracking.cc:3277)."""
@@ -153,8 +153,8 @@ def _insert_kf_and_spawn(m: ms.MapState, R, t, ts, feat_xy, feat_level,
     return m3, kf_id
 
 
-@partial(jax.jit, static_argnames=("cam_model", "n_ba_points", "n_iters"))
-def _local_ba(m: ms.MapState, window_ids, fixed_mask, cam_params, bf,
+@partial(jax.jit, static_argnames=("bf", "cam_model", "n_ba_points", "n_iters"))
+def _local_ba(m: ms.MapState, window_ids, fixed_mask, cam_params, bf: float,
               cam_model: int, n_ba_points: int, n_iters: int):
     """Gather a fixed-shape local BA problem from the map, solve, scatter back.
 
@@ -410,7 +410,7 @@ class Tracker:
         self.map, kf_id = _insert_kf_and_spawn(
             self.map, R, t, jnp.float32(ts), feats.xy[0], feats.level[0],
             feats.desc[0], feats.valid[0], u_r, depth, mp_feat0,
-            self.cam_params, jnp.float32(1e9),
+            self.cam_params, 1e9,
             cam_model=cfg.camera.model_id, n_levels=cfg.orb.n_levels)
         self._post_init(kf_id, int(self.map.n_mp), ts, feats)
         return {"state": OK, "n_inliers": int(self.map.n_mp), "init": True}
@@ -456,7 +456,7 @@ class Tracker:
         fixed = np.zeros(len(ids), bool)
         fixed[0] = True
         self.map = _local_ba(self.map, jnp.asarray(ids), jnp.asarray(fixed),
-                             self.cam_params, jnp.float32(cfg.bf),
+                             self.cam_params, float(cfg.bf),
                              cam_model=cfg.camera.model_id,
                              n_ba_points=cfg.ba.max_points, n_iters=20)
         self.pose = (self.map.kf_R[int(kf1)], self.map.kf_t[int(kf1)])
@@ -645,9 +645,9 @@ class Tracker:
                          n_inliers):
         cfg = self.cfg
         R, t = self.pose
-        close_depth = jnp.float32(cfg.stereo.depth_factor * cfg.stereo.baseline)
+        close_depth = float(cfg.stereo.depth_factor * cfg.stereo.baseline)
         if self.sensor == "mono":
-            close_depth = jnp.float32(-1.0)  # no depth spawning
+            close_depth = -1.0  # no depth spawning
         self.map, kf_id = _insert_kf_and_spawn(
             self.map, R, t, jnp.float32(ts), feats.xy[0], feats.level[0],
             feats.desc[0], feats.valid[0], u_r, depth, mp_feat,
@@ -701,7 +701,7 @@ class Tracker:
         if len(win) >= 2:
             self.map = _local_ba(
                 self.map, jnp.asarray(ids), jnp.asarray(fixed),
-                self.cam_params, jnp.float32(cfg.bf),
+                self.cam_params, float(cfg.bf),
                 cam_model=cfg.camera.model_id,
                 n_ba_points=cfg.ba.max_points, n_iters=cfg.ba.n_iters)
             self.pose = (self.map.kf_R[kf_id], self.map.kf_t[kf_id])

@@ -6,13 +6,18 @@ residual block's contribution to H and b.
 """
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 
-# chi2 gates from the reference (Optimizer.cc:984-998 and SURVEY.md §8)
+# chi2 gates from the reference (Optimizer.cc:984-998 and SURVEY.md §8).
+# NOTE: Python floats, NOT jnp scalars — captured f32[] array constants in
+# large elementwise ops trigger the TPU-backend compile pathology documented
+# in ops/masks.py.
 CHI2_MONO = 5.991    # 2-dof 95%
 CHI2_STEREO = 7.815  # 3-dof 95%
-DELTA_MONO = jnp.sqrt(CHI2_MONO)
-DELTA_STEREO = jnp.sqrt(CHI2_STEREO)
+DELTA_MONO = math.sqrt(CHI2_MONO)
+DELTA_STEREO = math.sqrt(CHI2_STEREO)
 
 
 def huber_weight(chi2: jnp.ndarray, delta: float) -> jnp.ndarray:
