@@ -118,8 +118,10 @@ def _descend(centroid_levels, desc_bits, k: int, depth: int):
         cents = centroid_levels[lvl]                       # (nodes*k, 256)
         child_base = node * k
         cand = cents[child_base[:, None] + jnp.arange(k)[None, :]]  # (N,k,256)
+        # DEFAULT precision: 0/1 bit dots are exact in bf16 (see __init__.py)
         dot = jnp.einsum("nkc,nc->nk", cand.astype(jnp.bfloat16), d,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.DEFAULT)
         s_c = jnp.sum(cand.astype(jnp.float32), axis=2)
         ham = s_c + s_d[:, None] - 2.0 * dot
         node = child_base + jnp.argmin(ham, axis=1).astype(jnp.int32)

@@ -37,8 +37,12 @@ def hamming_matrix(a_bits: jnp.ndarray, b_bits: jnp.ndarray,
     Invalid rows/cols are pushed to >= BIG."""
     a = a_bits.astype(jnp.bfloat16)
     b = b_bits.astype(jnp.bfloat16)
+    # precision pinned DEFAULT: 0/1 bit dots (<= 256) are exact in bf16, so
+    # the package-wide HIGHEST default (geometry-driven, see __init__.py)
+    # would only cost MXU throughput here
     dot = jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.DEFAULT)
     sa = jnp.sum(a_bits.astype(jnp.float32), axis=1)
     sb = jnp.sum(b_bits.astype(jnp.float32), axis=1)
     d = sa[:, None] + sb[None, :] - 2.0 * dot

@@ -73,8 +73,15 @@ def _resize_bilinear(img: jnp.ndarray, h_out: int, w_out: int) -> jnp.ndarray:
     h_in, w_in = img.shape[-2], img.shape[-1]
     Mh = jnp.asarray(_resize_matrix(h_in, h_out))   # (h_out, h_in)
     Mw = jnp.asarray(_resize_matrix(w_in, w_out)).T  # (w_in, w_out)
-    tmp = jnp.einsum("oh,...hw->...ow", Mh, img, preferred_element_type=jnp.float32)
-    return jnp.einsum("...ow,wp->...op", tmp, Mw, preferred_element_type=jnp.float32)
+    # HIGH precision (3-pass bf16): ~2^-16 relative error, i.e. milligray on
+    # 0..255 pixels — exact enough for FAST/BRIEF, ~2x the MXU throughput of
+    # the package-wide HIGHEST default (geometry-driven, see __init__.py)
+    tmp = jnp.einsum("oh,...hw->...ow", Mh, img,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGH)
+    return jnp.einsum("...ow,wp->...op", tmp, Mw,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGH)
 
 
 def build_pyramid(img: jnp.ndarray, n_levels: int = N_LEVELS) -> List[jnp.ndarray]:

@@ -179,9 +179,18 @@ def match_descriptors_ratio(desc_a, valid_a, desc_b, valid_b,
                             th: float = TH_LOW, ratio: float = NN_RATIO_DEFAULT):
     """Plain descriptor kNN-2 with Lowe ratio + threshold (the
     SearchForInitialization / fisheye-stereo style gate). Returns
-    (idx (Na,), ok (Na,) bool)."""
-    from ..ops.matcher import knn2
-    d = hamming_matrix(desc_a, desc_b, valid_a, valid_b)
-    i1, d1, d2 = knn2(d)
+    (idx (Na,), ok (Na,) bool).
+
+    On TPU this routes to the fused Pallas kernel (ops/pallas_matcher.py:
+    distance tile + dual-min never leave VMEM); elsewhere to the XLA matmul
+    formulation — same contract, oracle-tested against each other.
+    """
+    if jax.default_backend() == "tpu":
+        from ..ops.pallas_matcher import knn_match_fused
+        i1, d1, d2 = knn_match_fused(desc_a, desc_b, valid_a, valid_b)
+    else:
+        from ..ops.matcher import knn2
+        d = hamming_matrix(desc_a, desc_b, valid_a, valid_b)
+        i1, d1, d2 = knn2(d)
     ok = valid_a & (d1 <= th) & (d1 <= ratio * d2)   # 1-D preds: fine
     return jnp.where(ok, i1, -1), ok
