@@ -56,6 +56,132 @@ def match_kf_landmarks(m: ms.MapState, kf_a, kf_b):
     return p_a, p_b, m.kf_xy[a], m.kf_xy[b][idx_c], valid
 
 
+@jax.jit
+def match_kf_landmarks_cross(ma: ms.MapState, kf_a, mb: ms.MapState, kf_b):
+    """Cross-map variant of match_kf_landmarks: keyframe kf_a of map `ma` vs
+    keyframe kf_b of map `mb` (the merge-detection geometry input,
+    LoopClosing::NewDetectCommonRegions merge branch, LoopClosing.cc:324+).
+    Returns (p_a_cam, p_b_cam, uv_a, uv_b, valid) aligned to kf_a's slots."""
+    from ..tracking.matching import match_descriptors_ratio
+
+    a = jnp.clip(kf_a, 0, ma.max_kf - 1)
+    b = jnp.clip(kf_b, 0, mb.max_kf - 1)
+    F = ma.n_feat
+    has_a = ma.kf_feat_valid[a] & (ma.kf_mp[a] >= 0)
+    has_b = mb.kf_feat_valid[b] & (mb.kf_mp[b] >= 0)
+    idx, ok = match_descriptors_ratio(ma.kf_desc[a], has_a, mb.kf_desc[b],
+                                      has_b, th=75.0, ratio=0.9)
+    idx_c = jnp.clip(idx, 0, F - 1)
+    mp_a = jnp.clip(ma.kf_mp[a], 0, ma.max_mp - 1)
+    mp_b = jnp.clip(mb.kf_mp[b][idx_c], 0, mb.max_mp - 1)
+    valid = ok & ma.mp_valid[mp_a] & mb.mp_valid[mp_b]
+    p_a = lie.se3_apply(ma.kf_R[a], ma.kf_t[a], ma.mp_pos[mp_a])
+    p_b = lie.se3_apply(mb.kf_R[b], mb.kf_t[b], mb.mp_pos[mp_b])
+    return p_a, p_b, ma.kf_xy[a], mb.kf_xy[b][idx_c], valid
+
+
+@jax.jit
+def merge_world_sim3(R_cur, t_cur, R12, t12, s12, R_old, t_old):
+    """World-frame Sim3 (current-map world <- old-map world) from a
+    camera-frame Sim3 S12 (old-KF camera -> current-KF camera):
+        S_w = T_cw_cur^-1 o S12 o T_cw_old."""
+    one = jnp.float32(1.0)
+    Ri, ti, si = lie.sim3_inverse(R_cur, t_cur, one)
+    Rm, tm, sm = lie.sim3_compose(R12, t12, s12, R_old, t_old, one)
+    return lie.sim3_compose(Ri, ti, si, Rm, tm, sm)
+
+
+class MapMerger:
+    """Cross-map place recognition + Sim3 verification + Atlas merge.
+
+    The reference's multi-map merge path (LoopClosing.cc:
+    NewDetectCommonRegions querying the shared KeyFrameDatabase across maps
+    -> Sim3 verification -> MergeLocal:1215 fusing the maps). Here each
+    retired map keeps its frozen BoW database; every new keyframe of the
+    active map is queried against all of them, and a temporally-consistent,
+    Sim3-verified hit triggers Atlas.merge (old map transformed into the
+    current world frame and appended)."""
+
+    def __init__(self, cfg, min_matches: int = 20, min_inliers: int = 20,
+                 consistency_needed: int = 3, score_th: float = 0.015):
+        self.cfg = cfg
+        self.min_matches = min_matches
+        self.min_inliers = min_inliers
+        self.consistency_needed = consistency_needed
+        self.score_th = score_th
+        self.archives = []            # [{"map_idx": int, "db": PlaceRecognition}]
+        self.consistent = (-1, -1)    # (archive position, candidate kf)
+        self.count = 0
+        self.n_merges = 0
+
+    def archive(self, map_idx: int, db) -> None:
+        """Freeze the BoW database of a map being retired (new-map spawn)."""
+        if db is not None:
+            self.archives.append({"map_idx": map_idx, "db": db})
+
+    def on_keyframe(self, atlas, kf_id: int, cam_params) -> bool:
+        """Query archived maps with the active map's new keyframe; on a
+        verified hit, merge that map into the current one. Returns True if a
+        merge happened (caller must rebuild its live BoW database)."""
+        if not self.archives:
+            return False
+        m = atlas.current_map
+
+        best = (-1, -1, 0.0)  # (archive position, cand kf, score)
+        for pos, arc in enumerate(self.archives):
+            ids, scores = arc["db"].query(m.kf_desc[kf_id],
+                                          m.kf_feat_valid[kf_id], n_best=1)
+            if int(ids[0]) >= 0 and float(scores[0]) > best[2]:
+                best = (pos, int(ids[0]), float(scores[0]))
+        pos, cand, score = best
+        if pos < 0 or score <= self.score_th:
+            self.count = 0
+            return False
+
+        # temporal consistency: consecutive hits on the same archive, nearby KF
+        if self.consistent[0] == pos and abs(cand - self.consistent[1]) <= 2:
+            self.count += 1
+        else:
+            self.count = 1
+        self.consistent = (pos, cand)
+        if self.count < self.consistency_needed:
+            return False
+
+        arc = self.archives[pos]
+        old = atlas.maps[arc["map_idx"]]
+        p_a, p_b, uv_a, uv_b, valid = match_kf_landmarks_cross(
+            m, jnp.int32(kf_id), old, jnp.int32(cand))
+        if int(jnp.sum(valid)) < self.min_matches:
+            return False
+        R12, t12, s12, inl, n_inl = sim3_mod.sim3_ransac(
+            p_a, p_b, uv_a, uv_b, valid, cam_params)
+        if int(n_inl) < self.min_inliers:
+            return False
+        R12, t12, s12, inl, n_inl = sim3_mod.optimize_sim3(
+            R12, t12, s12, p_a, p_b, uv_a, uv_b, inl & valid, cam_params)
+        if int(n_inl) < self.min_inliers:
+            return False
+        # merge-scale sanity gate (reference: scale in [0.9, 1.1] for
+        # inertial merges, LoopClosing.cc:144-163; visual maps allow more)
+        if not (0.5 < float(s12) < 2.0):
+            return False
+
+        Rw, tw, sw = merge_world_sim3(
+            m.kf_R[kf_id], m.kf_t[kf_id], R12, t12, s12,
+            old.kf_R[cand], old.kf_t[cand])
+        src_idx = arc["map_idx"]
+        atlas.merge(src_idx, Rw, tw, sw)
+        # fix up archive bookkeeping after the source map's removal
+        self.archives.pop(pos)
+        for a in self.archives:
+            if a["map_idx"] > src_idx:
+                a["map_idx"] -= 1
+        self.count = 0
+        self.consistent = (-1, -1)
+        self.n_merges += 1
+        return True
+
+
 @partial(jax.jit, static_argnames=("e_max",))
 def essential_edges(m: ms.MapState, e_max: int = 1024, min_weight: float = 100.0):
     """Essential-graph edge list: sequential (spanning-tree stand-in) +
@@ -103,7 +229,8 @@ class LoopCloser:
     """Host-side loop-detection state machine + correction driver."""
 
     def __init__(self, cfg, place_rec, min_matches: int = 20,
-                 min_inliers: int = 20, consistency_needed: int = 3):
+                 min_inliers: int = 20, consistency_needed: int = 3,
+                 gba_iters: int = 10):
         self.cfg = cfg
         self.pr = place_rec
         self.min_matches = min_matches
@@ -113,6 +240,11 @@ class LoopCloser:
         self.consistency_count = 0
         self.last_loop_kf = -999
         self.n_loops = 0
+        # global BA after loop correction (RunGlobalBundleAdjustment,
+        # LoopClosing.cc:1206/2268); abort_gba is the mbStopGBA equivalent,
+        # polled between jitted LM chunks
+        self.gba_iters = gba_iters
+        self.abort_gba = False
 
     def on_keyframe(self, m: ms.MapState, kf_id: int, cam_params) -> ms.MapState:
         """Run detection for a new keyframe; on a confirmed loop, correct the
@@ -162,6 +294,18 @@ class LoopCloser:
         self.last_loop_kf = kf_id
         self.consistency_count = 0
         self.n_loops += 1
+
+        # full-map BA after the essential-graph correction
+        # (RunGlobalBundleAdjustment, LoopClosing.cc:1206)
+        if self.gba_iters > 0:
+            from .map_ba import global_bundle_adjust
+            self.abort_gba = False
+            m = global_bundle_adjust(
+                m, cam_params, bf=float(self.cfg.bf),
+                cam_model=self.cfg.camera.model_id,
+                n_iters=self.gba_iters, chunk=5,
+                n_ba_points=min(int(m.max_mp), 4096),
+                should_abort=lambda: self.abort_gba)
         return m
 
     def correct(self, m: ms.MapState, kf_cur: int, kf_loop: int, S12) -> ms.MapState:

@@ -183,6 +183,19 @@ class System:
     def save_trajectory_kitti(self, path: str):
         save_trajectory_kitti(path, [(R, t) for _, R, t in self.tracker.trajectory])
 
+    # -- visualization (Viewer/FrameDrawer/MapDrawer equivalents, offline;
+    #    the reference's Pangolin stack is compiled out on device anyway,
+    #    CMakeLists.txt:21-25) ----------------------------------------------
+    def save_map_render(self, path: str, title: str = "map"):
+        from . import viz
+        viz.render_map(path, self.tracker.map, title=title,
+                       trajectory=self.tracker.trajectory)
+
+    def export_map_ply(self, path: str):
+        from . import viz
+        viz.export_ply(path, self.tracker.map,
+                       trajectory=self.tracker.trajectory)
+
     # -- checkpoint / resume (System.cc:146-150 — disabled in the reference,
     #    supported here: the map is already tensors, SURVEY.md §5.4) --------
     def save_atlas(self, path: str):

@@ -122,6 +122,26 @@ def relocalize_against_kf(m_mp_pos, m_mp_valid, kf_mp_row, kf_desc, kf_feat_vali
     return R, t, n_inl
 
 
+def make_place_recognition(voc, max_kf: int, prefer_native: bool = True):
+    """Factory: the native C++ inverted-file database when available (the
+    reference's KeyFrameDatabase is host C++ — SURVEY.md §7 flags BoW descent
+    as host-CPU work), else the dense JAX implementation. Both expose the
+    same add()/query()/.voc contract and are oracle-tested against each
+    other (tests/test_native_bow.py). Env ORBSLAM3_TPU_NATIVE_BOW=0 forces
+    the JAX path."""
+    import os
+    if prefer_native and os.environ.get("ORBSLAM3_TPU_NATIVE_BOW", "1") != "0":
+        try:
+            from ..native import NativeBowDatabase, load_library
+            if load_library() is not None:
+                db = NativeBowDatabase(voc, max_kf)
+                db.voc = voc
+                return db
+        except Exception:
+            pass
+    return PlaceRecognition(voc, max_kf)
+
+
 class PlaceRecognition:
     """Dense BoW keyframe database (the KeyFrameDatabase equivalent).
 

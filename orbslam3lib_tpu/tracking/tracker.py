@@ -38,6 +38,8 @@ import jax.numpy as jnp
 from ..config import SlamConfig
 from ..mapping import local_mapping as lm_ops
 from ..mapping.local_ba import BAProblem, bundle_adjust
+from ..mapping.map_ba import inv_sigma2 as _inv_sigma2
+from ..mapping.map_ba import map_window_ba as _local_ba
 from ..models import map_state as ms
 from ..models.atlas import Atlas, transform_map
 from ..ops.extractor import Features, ThresholdController, extract_orb_stereo
@@ -55,12 +57,6 @@ NOT_INITIALIZED = 0
 OK = 1
 RECENTLY_LOST = 2
 LOST = 3
-
-
-def _inv_sigma2(level, n_levels):
-    sf = jnp.asarray(scale_factors(n_levels))
-    s = sf[jnp.clip(level, 0, n_levels - 1)]
-    return 1.0 / (s * s)
 
 
 @partial(jax.jit, static_argnames=("bf", "r_coarse", "r_fine", "cam_model",
@@ -153,66 +149,6 @@ def _insert_kf_and_spawn(m: ms.MapState, R, t, ts, feat_xy, feat_level,
     return m3, kf_id
 
 
-@partial(jax.jit, static_argnames=("bf", "cam_model", "n_ba_points", "n_iters"))
-def _local_ba(m: ms.MapState, window_ids, fixed_mask, cam_params, bf: float,
-              cam_model: int, n_ba_points: int, n_iters: int):
-    """Gather a fixed-shape local BA problem from the map, solve, scatter back.
-
-    window_ids (C,) int32 (-1 = empty slot), fixed_mask (C,) bool.
-    Reference: LocalBundleAdjustment (Optimizer.cc:1124) — window KFs
-    optimizable, anchors fixed, all their landmarks optimizable.
-    """
-    C = window_ids.shape[0]
-    F = m.n_feat
-    ids = jnp.clip(window_ids, 0, m.max_kf - 1)
-    cam_ok = (window_ids >= 0) & m.kf_valid[ids]
-
-    kf_mp_w = jnp.where((cam_ok[:, None]) & m.kf_feat_valid[ids],
-                        m.kf_mp[ids], -1)                     # (C,F)
-    # select up to n_ba_points observed landmarks
-    flag = jnp.zeros(m.max_mp, jnp.float32).at[
-        jnp.clip(kf_mp_w.reshape(-1), 0, m.max_mp - 1)].max(
-        (kf_mp_w.reshape(-1) >= 0).astype(jnp.float32), mode="drop")
-    flag = flag * m.mp_valid.astype(jnp.float32)
-    sel_flag, sel_ids = jax.lax.top_k(flag, n_ba_points)
-    pt_ok = sel_flag > 0
-    inv = jnp.full(m.max_mp, -1, jnp.int32).at[sel_ids].set(
-        jnp.arange(n_ba_points, dtype=jnp.int32))
-
-    cc = jax.lax.broadcasted_iota(jnp.int32, (C, F), 0)
-    e_pt_g = kf_mp_w.reshape(-1)
-    e_pt = inv[jnp.clip(e_pt_g, 0, m.max_mp - 1)]
-    e_valid = (e_pt_g >= 0) & (e_pt >= 0)
-    e_cam = cc.reshape(-1)
-    e_uv = m.kf_xy[ids].reshape(-1, 2)
-    e_level = m.kf_level[ids].reshape(-1)
-    e_depth = m.kf_depth[ids].reshape(-1)
-    e_stereo = e_depth > 0.05
-    z_safe = jnp.maximum(e_depth, 0.05)
-    e_u_right = jnp.where(e_stereo, e_uv[:, 0] - bf / z_safe, 0.0)
-
-    prob = BAProblem(
-        cam_R=m.kf_R[ids], cam_t=m.kf_t[ids],
-        cam_fixed=fixed_mask | (~cam_ok), cam_valid=cam_ok,
-        points=m.mp_pos[sel_ids], pt_valid=pt_ok,
-        e_cam=e_cam, e_pt=jnp.where(e_valid, e_pt, 0),
-        e_uv=e_uv, e_inv_sigma2=_inv_sigma2(e_level, 8),
-        e_u_right=e_u_right, e_stereo=e_stereo, e_valid=e_valid,
-    )
-    cam_R, cam_t, points, e_inlier = bundle_adjust(
-        prob, cam_params, cam_model=cam_model, bf=bf, n_iters=n_iters)
-
-    # scatter back (only valid, non-fixed cams; valid points)
-    upd_cam = cam_ok & (~fixed_mask)
-    m = m._replace(
-        kf_R=m.kf_R.at[ids].set(jnp.where(upd_cam[:, None, None], cam_R, m.kf_R[ids])),
-        kf_t=m.kf_t.at[ids].set(jnp.where(upd_cam[:, None], cam_t, m.kf_t[ids])),
-        mp_pos=m.mp_pos.at[sel_ids].set(jnp.where(pt_ok[:, None], points,
-                                                  m.mp_pos[sel_ids])),
-    )
-    return m
-
-
 @partial(jax.jit, static_argnames=("cam_model", "n_levels"))
 def _mono_init_map(m: ms.MapState, ts0, ts1, xy0, lvl0, desc0, fv0,
                    xy1, lvl1, desc1, fv1, match_idx, tri_ok, R21, t21, p3d,
@@ -283,13 +219,15 @@ class Tracker:
         self.n_inliers_last = 0
         self.cam_params = jnp.asarray(cfg.camera.params)
         self.stats = {"n_kf": 0, "n_frames": 0, "track_fail": 0,
-                      "n_reloc": 0, "n_new_maps": 0, "n_loops": 0}
+                      "n_reloc": 0, "n_new_maps": 0, "n_loops": 0,
+                      "n_map_merges": 0}
         self.lost_since: Optional[float] = None
         # mono init state
         self._init_frame = None
         # place recognition + loop closing (lazy: vocabulary may come later)
         self.place_rec = None
         self.loop_closer = None
+        self.map_merger = None
         self.enable_loop_closing = enable_loop_closing
         if vocabulary is not None:
             self._setup_place_rec(vocabulary)
@@ -313,11 +251,25 @@ class Tracker:
         self.atlas.current_map = m
 
     def _setup_place_rec(self, voc):
-        from ..mapping.loop_closing import LoopCloser
-        from .reloc import PlaceRecognition
-        self.place_rec = PlaceRecognition(voc, self.cfg.map.max_kf)
+        from ..mapping.loop_closing import LoopCloser, MapMerger
+        from .reloc import make_place_recognition
+        self.place_rec = make_place_recognition(voc, self.cfg.map.max_kf)
         if self.enable_loop_closing:
             self.loop_closer = LoopCloser(self.cfg, self.place_rec)
+            if self.map_merger is None:
+                self.map_merger = MapMerger(self.cfg)
+
+    def _rebuild_place_rec(self):
+        """Recompute the live BoW database from the current map (after an
+        Atlas merge rewrote keyframe slots)."""
+        from .reloc import make_place_recognition
+        voc = self.place_rec.voc
+        db = make_place_recognition(voc, self.cfg.map.max_kf)
+        for k in np.flatnonzero(np.asarray(self.map.kf_valid)):
+            db.add(int(k), self.map.kf_desc[int(k)], self.map.kf_feat_valid[int(k)])
+        self.place_rec = db
+        if self.loop_closer is not None:
+            self.loop_closer.pr = db
 
     def _ensure_place_rec(self, desc_bits):
         """Train a vocabulary from the first frames' descriptors if none was
@@ -593,8 +545,21 @@ class Tracker:
         # timeout -> LOST -> new map (CreateMapInAtlas) if map is big enough
         if self.lost_since is not None and ts - self.lost_since > 5.0:
             if int(self.map.n_kf) > 10:
+                # retire the current map's BoW database into the merger so
+                # the new map can later be merged back (MergeLocal detection)
+                if self.map_merger is not None and self.place_rec is not None:
+                    self.map_merger.archive(self.atlas.current, self.place_rec)
                 self.atlas.create_new_map()
                 self.stats["n_new_maps"] += 1
+                if self.place_rec is not None:
+                    from .reloc import make_place_recognition
+                    self.place_rec = make_place_recognition(
+                        self.place_rec.voc, self.cfg.map.max_kf)
+                    if self.loop_closer is not None:
+                        from ..mapping.loop_closing import LoopCloser
+                        n_loops = self.loop_closer.n_loops
+                        self.loop_closer = LoopCloser(self.cfg, self.place_rec)
+                        self.loop_closer.n_loops = n_loops
                 Verbose.log("[tracker] spawning new map in atlas")
             self.state = NOT_INITIALIZED
             self.pose = None
@@ -683,6 +648,17 @@ class Tracker:
                     if self.loop_closer.n_loops > n_before:
                         self.stats["n_loops"] += 1
                         self.pose = (self.map.kf_R[kid], self.map.kf_t[kid])
+
+            # cross-map merge detection (NewDetectCommonRegions merge branch
+            # -> MergeLocal): query retired maps' BoW databases
+            if self.map_merger is not None and self.map_merger.archives:
+                with self.timer.stage("map_merge"):
+                    if self.map_merger.on_keyframe(self.atlas, kid,
+                                                   self.cam_params):
+                        self.stats["n_map_merges"] += 1
+                        self._rebuild_place_rec()
+                        self.pose = (self.map.kf_R[kid], self.map.kf_t[kid])
+                        Verbose.log("[tracker] merged maps in atlas")
 
         self._note_kf_imu(ts)
 

@@ -1,0 +1,155 @@
+"""Cross-map merge: place recognition against retired maps + Sim3-verified
+Atlas merge (the reference's NewDetectCommonRegions merge branch ->
+MergeLocal, LoopClosing.cc:324/1215)."""
+import numpy as np
+import jax.numpy as jnp
+
+from orbslam3lib_tpu.config import SlamConfig
+from orbslam3lib_tpu.mapping.loop_closing import MapMerger, match_kf_landmarks_cross
+from orbslam3lib_tpu.models import map_state as ms
+from orbslam3lib_tpu.models import vocabulary as vb
+from orbslam3lib_tpu.models.atlas import Atlas
+from orbslam3lib_tpu.tracking.reloc import PlaceRecognition
+from orbslam3lib_tpu.utils import cameras
+
+RNG = np.random.default_rng(42)
+CAM = jnp.asarray([300.0, 300.0, 320.0, 200.0], dtype=jnp.float32)
+F = 160
+N_PTS = 360
+
+
+def ring_world():
+    ang = np.linspace(0, 2 * np.pi, N_PTS, endpoint=False)
+    pts = np.stack([6.0 * np.cos(ang),
+                    RNG.uniform(-1.5, 1.5, N_PTS),
+                    6.0 * np.sin(ang)], axis=1).astype(np.float32)
+    descs = RNG.integers(0, 2, size=(N_PTS, 256)).astype(np.int8)
+    return pts, descs
+
+
+PTS, DESCS = ring_world()
+
+
+def kf_pose(theta, radius=2.0):
+    c = np.array([radius * np.cos(theta), 0.0, radius * np.sin(theta)],
+                 dtype=np.float32)
+    fwd = np.array([np.cos(theta), 0.0, np.sin(theta)], dtype=np.float32)
+    up = np.array([0.0, 1.0, 0.0], dtype=np.float32)
+    right = np.cross(up, fwd); right /= np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    R = np.stack([right, down, fwd], axis=1).astype(np.float32).T
+    return R, -R @ c
+
+
+def build_map(thetas, G=None):
+    """One internally-consistent MapState observing the ring from `thetas`.
+
+    G=(R_g, t_g, s): express the map in a transformed world frame
+    world_G = s R_g world + t_g (scaled reconstruction: camera-frame points
+    are s x farther, pixel observations identical)."""
+    if G is None:
+        R_g, t_g, s = np.eye(3, dtype=np.float32), np.zeros(3, np.float32), 1.0
+    else:
+        R_g, t_g, s = G
+    m = ms.empty_map(max_kf=32, max_mp=1024, n_feat=F)
+    first = np.full(N_PTS, -1, np.int32)
+    for i, th in enumerate(thetas):
+        R, t = kf_pose(th)
+        p_c = PTS @ R.T + t
+        uv = np.asarray(cameras.pinhole_project(CAM, jnp.asarray(p_c)))
+        ok = (p_c[:, 2] > 1.0) & (uv[:, 0] > 5) & (uv[:, 0] < 635) & \
+             (uv[:, 1] > 5) & (uv[:, 1] < 395)
+        sel = np.nonzero(ok)[0][:F]
+        xy = np.zeros((F, 2), np.float32); xy[:len(sel)] = uv[sel]
+        desc = np.zeros((F, 256), np.int8); desc[:len(sel)] = DESCS[sel]
+        fv = np.zeros(F, bool); fv[:len(sel)] = True
+        assoc = np.full(F, -1, np.int32); assoc[:len(sel)] = sel
+        first[sel[first[sel] < 0]] = i
+        R_m = (R @ R_g.T).astype(np.float32)
+        t_m = (s * t - R_m @ t_g).astype(np.float32)
+        m, _ = ms.insert_keyframe(
+            m, jnp.asarray(R_m), jnp.asarray(t_m), jnp.float32(i),
+            jnp.asarray(xy), jnp.zeros(F, jnp.int32), jnp.asarray(desc),
+            jnp.asarray(fv), jnp.asarray(assoc), jnp.zeros(F, jnp.float32))
+    mp_pos = np.zeros((1024, 3), np.float32)
+    mp_valid = np.zeros(1024, bool)
+    mp_desc = np.zeros((1024, 256), np.int8)
+    mp_first = np.full(1024, -1, np.int32)
+    obs = first >= 0
+    mp_pos[:N_PTS][obs] = (PTS[obs] @ R_g.T * s + t_g)
+    mp_valid[:N_PTS] = obs
+    mp_desc[:N_PTS][obs] = DESCS[obs]
+    mp_first[:N_PTS][obs] = first[obs]
+    return m._replace(
+        mp_pos=jnp.asarray(mp_pos), mp_valid=jnp.asarray(mp_valid),
+        mp_desc=jnp.asarray(mp_desc), mp_first_kf=jnp.asarray(mp_first),
+        n_mp=jnp.int32(N_PTS))
+
+
+def rot_y(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], dtype=np.float32)
+
+
+class TestMapMerge:
+    def _setup(self):
+        thetas_a = [0.0, 0.4, 0.8, 1.2, 1.6]
+        G = (rot_y(0.3), np.array([0.5, 0.2, -0.3], np.float32), 1.25)
+        thetas_b = [2.4, 2.8, 3.2, 0.05]   # last KF revisits map A's area
+        m_a = build_map(thetas_a)
+        m_b = build_map(thetas_b, G)
+        return m_a, m_b, G
+
+    def test_cross_match_finds_overlap(self):
+        m_a, m_b, G = self._setup()
+        _, _, _, _, valid = match_kf_landmarks_cross(
+            m_b, jnp.int32(3), m_a, jnp.int32(0))
+        assert int(jnp.sum(valid)) > 40
+
+    def test_merge_detection_and_geometry(self):
+        m_a, m_b, G = self._setup()
+        R_g, t_g, s_g = G
+        voc = vb.train_vocabulary(DESCS, k=4, depth=3)
+        db_a = PlaceRecognition(voc, max_kf=32)
+        for i in range(int(m_a.n_kf)):
+            db_a.add(i, m_a.kf_desc[i], m_a.kf_feat_valid[i])
+
+        atlas = Atlas(32, 1024, F)
+        atlas.maps = [m_a, m_b]
+        atlas.bad = [False, False]
+        atlas.current = 1
+
+        merger = MapMerger(SlamConfig(), consistency_needed=1)
+        merger.archive(0, db_a)
+
+        # a non-overlapping keyframe must NOT trigger a merge
+        assert not merger.on_keyframe(atlas, 0, CAM)
+        merger.count = 0
+
+        assert merger.on_keyframe(atlas, 3, CAM), "merge not detected"
+        assert merger.n_merges == 1
+        assert atlas.count_maps() == 1
+        merged = atlas.current_map
+        assert int(merged.n_kf) == int(m_a.n_kf) + int(m_b.n_kf)
+
+        # map A's landmarks must land at their map-B-frame positions:
+        # p_B = s R_g p_A + t_g. Appended copies start at m_b.n_mp.
+        off = int(m_b.n_mp)
+        pos = np.asarray(merged.mp_pos)
+        val = np.asarray(merged.mp_valid)
+        desc = np.asarray(merged.mp_desc)
+        a_valid = np.asarray(m_a.mp_valid)
+        n_checked = 0
+        expect_all = PTS @ R_g.T * s_g + t_g
+        for j in range(off, off + int(m_a.n_mp)):
+            if not val[j]:
+                continue
+            # identify the world point by its unique descriptor
+            p_idx = int(np.argmin((desc[j][None, :] != DESCS).sum(1)))
+            err = np.linalg.norm(pos[j] - expect_all[p_idx])
+            assert err < 0.05, (j, p_idx, err)
+            n_checked += 1
+        assert n_checked > 100
+        # pre-existing map-B keyframes are untouched
+        np.testing.assert_allclose(np.asarray(merged.kf_t[:4]),
+                                   np.asarray(m_b.kf_t[:4]), atol=1e-6)
