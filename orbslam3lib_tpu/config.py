@@ -44,6 +44,8 @@ class StereoConfig:
     min_z: float = 0.3                # nearest matchable depth
     depth_factor: float = 40.0        # close-point threshold = factor*baseline
                                       # (reference thDepth semantics, Settings)
+    sad_refine: bool = True           # 11x11 SAD sub-pixel refinement of
+                                      # rectified matches (Frame.cc:897-997)
 
 
 @dataclass

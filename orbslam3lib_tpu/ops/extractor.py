@@ -82,11 +82,14 @@ def _canvas(levels: List[jnp.ndarray], h0: int, w0: int) -> jnp.ndarray:
 
 def extract_orb(img: jnp.ndarray, threshold: jnp.ndarray,
                 max_kp: int = MAX_KP_DEFAULT,
-                n_levels: int = pyramid.N_LEVELS) -> Features:
+                n_levels: int = pyramid.N_LEVELS,
+                return_canvas: bool = False):
     """Extract ORB features from one grayscale image.
 
     img: (H, W) uint8/float32. threshold: traced scalar (host-controlled).
-    Returns a Features pytree of static capacity `max_kp`.
+    Returns a Features pytree of static capacity `max_kp`; with
+    `return_canvas` also the (L, H, W) zero-padded pyramid canvas (the
+    reference's mvImagePyramid, needed by the SAD stereo refinement).
     """
     h0, w0 = img.shape
     levels = pyramid.build_pyramid(img, n_levels)
@@ -132,7 +135,7 @@ def extract_orb(img: jnp.ndarray, threshold: jnp.ndarray,
     xy = jnp.stack([x0, y0], axis=-1)
 
     zero_f = jnp.float32(0.0)
-    return Features(
+    feats = Features(
         xy=jnp.where(kp_valid[:, None], xy, zero_f),
         level=jnp.where(kp_valid, kp_l, -1),
         score=top_s,
@@ -140,18 +143,25 @@ def extract_orb(img: jnp.ndarray, threshold: jnp.ndarray,
         desc=desc * kp_valid[:, None].astype(jnp.int8),
         valid=kp_valid,
     )
+    if return_canvas:
+        return feats, canvas
+    return feats
 
 
-@partial(jax.jit, static_argnames=("max_kp", "n_levels"))
+@partial(jax.jit, static_argnames=("max_kp", "n_levels", "return_canvas"))
 def extract_orb_stereo(img_pair: jnp.ndarray, threshold: jnp.ndarray,
                        max_kp: int = MAX_KP_DEFAULT,
-                       n_levels: int = pyramid.N_LEVELS) -> Features:
+                       n_levels: int = pyramid.N_LEVELS,
+                       return_canvas: bool = False):
     """Batched stereo extraction: (2, H, W) -> Features with leading dim 2.
 
     The eye axis is the reference's left/right DSP worker-thread pair
-    (SURVEY.md §2.4 P3) expressed as a vmap batch dimension.
+    (SURVEY.md §2.4 P3) expressed as a vmap batch dimension. With
+    `return_canvas`, also returns the (2, L, H, W) pyramid canvases.
     """
-    return jax.vmap(lambda im: extract_orb(im, threshold, max_kp, n_levels))(img_pair)
+    return jax.vmap(
+        lambda im: extract_orb(im, threshold, max_kp, n_levels, return_canvas)
+    )(img_pair)
 
 
 class ThresholdController:

@@ -23,6 +23,7 @@ from __future__ import annotations
 from functools import partial
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -172,6 +173,107 @@ def match_rectified_stereo(xy_l, level_l, desc_l, valid_l,
     disparity = (xy_l[:, 0] - u_r) * has
     depth = has * step01((disparity - 0.1) * 100.0) * bf / jnp.maximum(disparity, 0.1)
     return u_r, depth
+
+
+@partial(jax.jit, static_argnames=("bf", "min_z", "n_levels"))
+def refine_stereo_sad(canvas_l, canvas_r, xy_l, level_l, valid_l, u_r, depth,
+                      bf: float, min_z: float, n_levels: int = 8):
+    """Sub-pixel SAD refinement of rectified-stereo matches.
+
+    Semantics of the refinement stage of Frame::ComputeStereoMatches
+    (Frame.cc:897-997): at the left keypoint's pyramid level, an 11x11
+    center-normalized SAD sweep over +-5 px around the matched right column,
+    parabolic sub-pixel fit on the best triplet (rejected if |delta| > 1),
+    disparity window (0, bf/min_z], and the outlier cut at
+    1.5 * 1.4 * median(best SAD).
+
+    canvas_l/canvas_r: (L, H, W) zero-padded pyramid canvases (from
+    extract_orb(..., return_canvas=True)). u_r/depth: the descriptor-level
+    match output (-1 / 0 when unmatched). Returns refined (u_r, depth).
+    """
+    W_R = 5                      # half window (11x11)
+    SRCH = 5                     # +-5 px sweep
+    Lh, Hh, Wh = canvas_l.shape
+    N = xy_l.shape[0]
+    sf = jnp.asarray(scale_factors(n_levels))
+    lvl = jnp.clip(level_l, 0, n_levels - 1)
+    sc = sf[lvl]
+
+    matched = (u_r >= 0.0) & valid_l
+    # level coords (inverse of the extractor's pixel-center mapping)
+    xl = (xy_l[:, 0] + 0.5) / sc - 0.5
+    yl = (xy_l[:, 1] + 0.5) / sc - 0.5
+    xr0 = (u_r + 0.5) / sc - 0.5
+    xi = jnp.round(xl).astype(jnp.int32)
+    yi = jnp.round(yl).astype(jnp.int32)
+    ri = jnp.round(xr0).astype(jnp.int32)
+
+    # in-bounds gate at the level's true extent (exact pyramid geometry)
+    from ..ops.pyramid import level_shapes
+    shp = np.asarray(level_shapes(Hh, Wh, n_levels))
+    lh = jnp.asarray(shp[:, 0], jnp.int32)[lvl]
+    lw = jnp.asarray(shp[:, 1], jnp.int32)[lvl]
+    pad = W_R + SRCH + 1
+    ok = matched & (xi >= pad) & (xi < lw - pad) & \
+        (yi >= pad) & (yi < lh - pad) & (ri >= pad) & (ri < lw - pad)
+    xi = jnp.clip(xi, pad, Wh - pad - 1)
+    yi = jnp.clip(yi, pad, Hh - pad - 1)
+    ri = jnp.clip(ri, pad, Wh - pad - 1)
+
+    dy = jnp.arange(-W_R, W_R + 1)
+    dxs = jnp.arange(-W_R, W_R + 1)
+    # left patch (N, 11, 11), center-normalized
+    pl = canvas_l[lvl[:, None, None],
+                  (yi[:, None, None] + dy[None, :, None]),
+                  (xi[:, None, None] + dxs[None, None, :])]
+    pl = pl - pl[:, W_R, W_R][:, None, None]
+    # right strip (N, 11, 11 + 2*SRCH)
+    dxw = jnp.arange(-(W_R + SRCH), W_R + SRCH + 1)
+    strip = canvas_r[lvl[:, None, None],
+                     (yi[:, None, None] + dy[None, :, None]),
+                     (ri[:, None, None] + dxw[None, None, :])]
+
+    def sad_at(inc):
+        w = jax.lax.dynamic_slice_in_dim(strip, inc + SRCH, 2 * W_R + 1, axis=2)
+        w = w - w[:, W_R, W_R][:, None, None]
+        return jnp.sum(jnp.abs(pl - w), axis=(1, 2))
+
+    sads = jnp.stack([sad_at(i) for i in range(-SRCH, SRCH + 1)], axis=1)  # (N, 11)
+    best = jnp.argmin(sads, axis=1)                                        # in [0,10]
+    best_in = jnp.clip(best, 1, 2 * SRCH - 1)  # need both neighbors
+    ok = ok & (best >= 1) & (best <= 2 * SRCH - 1)
+    iN = jnp.arange(N)
+    dC = sads[iN, best_in]
+    dL = sads[iN, best_in - 1]
+    dRr = sads[iN, best_in + 1]
+    denom = dL + dRr - 2.0 * dC
+    delta = jnp.where(jnp.abs(denom) > 1e-6,
+                      (dL - dRr) / (2.0 * jnp.maximum(denom, 1e-6)), 0.0)
+    ok = ok & (jnp.abs(delta) <= 1.0)
+
+    xr_ref = ri.astype(jnp.float32) + (best_in - SRCH).astype(jnp.float32) + delta
+    # the sweep measures the disparity AT the rounded left position; assume
+    # locally-constant disparity and re-anchor at the unrounded keypoint
+    disp_lvl = xi.astype(jnp.float32) - xr_ref
+    u_r_ref = xy_l[:, 0] - disp_lvl * sc
+    disparity = xy_l[:, 0] - u_r_ref
+    max_disp = bf / min_z
+    ok = ok & (disparity > 0.01) & (disparity <= max_disp)
+
+    # outlier cut: 1.5 * 1.4 * median best SAD over accepted matches
+    okf = ok.astype(jnp.float32)
+    n_ok = jnp.sum(okf).astype(jnp.int32)
+    s_sorted = jnp.sort(jnp.where(ok, dC, jnp.inf))
+    med = s_sorted[jnp.clip((n_ok - 1) // 2, 0, N - 1)]
+    ok = ok & (dC <= 1.5 * 1.4 * med)
+
+    u_out = jnp.where(ok, u_r_ref, u_r)
+    # drop matches the SAD cut rejected entirely (reference erases them)
+    cut = matched & ~ok
+    u_out = jnp.where(cut, -1.0, u_out)
+    d_out = jnp.where(ok, bf / jnp.maximum(disparity, 1e-3),
+                      jnp.where(cut, 0.0, depth))
+    return u_out, d_out
 
 
 @jax.jit

@@ -239,6 +239,9 @@ class Tracker:
         self._pre_kf = None          # preintegration since last KF
         self._kf_preints: List = []  # per-KF-gap preintegrations for init
         self._kf_times: List[float] = []
+        # gap registry for the VI window BA: dst kf id -> (src kf id, pre)
+        self._gap_by_dst: dict = {}
+        self._prev_note_kf_id: int = -1
         self.anchor_state: Optional[InertialFrameState] = None
 
     # -- plumbing -----------------------------------------------------------
@@ -309,10 +312,13 @@ class Tracker:
         cfg = self.cfg
         if img.ndim == 2:
             img = img[None]
+        want_canvas = self.sensor == "stereo" and cfg.stereo.sad_refine
         with self.timer.stage("extract"):
-            feats = extract_orb_stereo(
+            ex = extract_orb_stereo(
                 jnp.asarray(img), jnp.float32(self.threshold.t),
-                max_kp=cfg.orb.max_kp, n_levels=cfg.orb.n_levels)
+                max_kp=cfg.orb.max_kp, n_levels=cfg.orb.n_levels,
+                return_canvas=want_canvas)
+            feats, canvas = ex if want_canvas else (ex, None)
             jax.block_until_ready(feats.xy)
         if self.sensor == "stereo":
             with self.timer.stage("stereo_match"):
@@ -321,6 +327,13 @@ class Tracker:
                     feats.xy[1], feats.level[1], feats.desc[1], feats.valid[1],
                     float(cfg.bf), float(cfg.stereo.min_z),
                     n_levels=cfg.orb.n_levels)
+                if want_canvas:
+                    # sub-pixel SAD refinement (Frame.cc:897-997)
+                    u_r, depth = matching.refine_stereo_sad(
+                        canvas[0], canvas[1], feats.xy[0], feats.level[0],
+                        feats.valid[0], u_r, depth, bf=float(cfg.bf),
+                        min_z=float(cfg.stereo.min_z),
+                        n_levels=cfg.orb.n_levels)
         else:
             F = cfg.orb.max_kp
             u_r = jnp.full(F, -1.0)
@@ -566,6 +579,7 @@ class Tracker:
             self._init_frame = None
             self.imu_ready = False
             self._kf_preints, self._kf_times = [], []
+            self._gap_by_dst, self._prev_note_kf_id = {}, -1
         return {"state": self.state, "n_inliers": 0}
 
     # -- keyframe policy (NeedNewKeyFrame, Tracking.cc:3125) ----------------
@@ -662,6 +676,57 @@ class Tracker:
 
         self._note_kf_imu(ts)
 
+        # windowed visual-inertial BA once IMU is live (LocalInertialBA,
+        # Optimizer.cc:2405) — runs after _note_kf_imu so the newest KF gap
+        # preintegration is registered
+        if cfg.use_imu and self.imu_ready:
+            with self.timer.stage("vi_ba"):
+                self._run_vi_window(kid)
+
+    def _run_vi_window(self, kf_id: int):
+        from ..mapping.vi_ba import apply_vi_window, local_inertial_ba
+        cfg = self.cfg
+        n_kf = int(self.map.n_kf)
+        C = cfg.ba.window_size + 1
+        # longest consecutive chain of KFs ending at kf_id whose gaps all
+        # have registered preintegrations (merges/new maps break the chain)
+        sel = [kf_id]
+        k = kf_id
+        while len(sel) < C:
+            src = self._gap_by_dst.get(k, (None, None))[0]
+            if src != k - 1 or k - 1 < 0:
+                break
+            k -= 1
+            sel.append(k)
+        sel.reverse()
+        if len(sel) < 3:
+            return
+        ids = np.full(C, -1, np.int32)
+        ids[:len(sel)] = sel
+        fixed = np.zeros(C, bool)
+        fixed[0] = True  # oldest window KF anchors the gauge
+        pres = [self._gap_by_dst[sel[i + 1]][1] for i in range(len(sel) - 1)]
+        pre_valid = np.zeros(C - 1, bool)
+        pre_valid[:len(pres)] = True
+        while len(pres) < C - 1:
+            pres.append(imu_mod.empty_preintegrated())
+        pres_stack = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *pres)
+        bg, ba = self.imu_bias
+        res = local_inertial_ba(
+            self.map, jnp.asarray(ids), jnp.asarray(fixed), pres_stack,
+            jnp.asarray(pre_valid), bg, ba, self.cam_params, float(cfg.bf),
+            cam_model=cfg.camera.model_id, n_iters=cfg.ba.n_iters,
+            n_levels=cfg.orb.n_levels)
+        self.map = apply_vi_window(self.map, jnp.asarray(ids),
+                                   jnp.asarray(fixed), res)
+        self.imu_bias = (res.bg, res.ba)
+        last = len(sel) - 1
+        self.frame_state_v = res.v[last]
+        self.pose = (self.map.kf_R[kf_id], self.map.kf_t[kf_id])
+        self.anchor_state = InertialFrameState(
+            R=self.map.kf_R[kf_id], t=self.map.kf_t[kf_id], v=res.v[last],
+            bg=res.bg, ba=res.ba)
+
     def _run_local_ba(self, kf_id: int):
         cfg = self.cfg
         n_kf = int(self.map.n_kf)
@@ -689,6 +754,10 @@ class Tracker:
         if self._pre_kf is not None and float(self._pre_kf.dt) > 0 and \
                 len(self._kf_times) > 0:
             self._kf_preints.append(self._pre_kf)
+            if self._prev_note_kf_id >= 0:
+                self._gap_by_dst[self.last_kf_id] = (self._prev_note_kf_id,
+                                                     self._pre_kf)
+        self._prev_note_kf_id = self.last_kf_id
         self._kf_times.append(ts)
         bg, ba = self.imu_bias
         self._pre_kf = imu_mod.empty_preintegrated(bg, ba)
