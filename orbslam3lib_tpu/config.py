@@ -46,6 +46,12 @@ class StereoConfig:
                                       # (reference thDepth semantics, Settings)
     sad_refine: bool = True           # 11x11 SAD sub-pixel refinement of
                                       # rectified matches (Frame.cc:897-997)
+    fisheye: bool = False             # two-camera non-rectified path:
+                                      # kNN dist<70 + TriangulateMatches
+                                      # (Frame.cc:1142 — the production path)
+    R_lr: Optional[Tuple] = None      # right-cam pose in left frame (3x3
+                                      # row-major); None = identity
+    t_lr: Optional[Tuple] = None      # None = (baseline, 0, 0)
 
 
 @dataclass
@@ -101,6 +107,8 @@ class MapConfig:
 @dataclass
 class SlamConfig:
     camera: CameraConfig = field(default_factory=CameraConfig)
+    camera2: Optional[CameraConfig] = None   # right camera (fisheye path);
+                                             # None = same as camera
     stereo: StereoConfig = field(default_factory=StereoConfig)
     imu: ImuConfig = field(default_factory=ImuConfig)
     orb: OrbConfig = field(default_factory=OrbConfig)
@@ -110,25 +118,47 @@ class SlamConfig:
     use_imu: bool = False
 
     @property
+    def stereo_extrinsics(self):
+        """(R_lr, t_lr) as float32 arrays (right-cam pose in left frame)."""
+        R = np.eye(3, dtype=np.float32) if self.stereo.R_lr is None else \
+            np.asarray(self.stereo.R_lr, np.float32).reshape(3, 3)
+        t = np.asarray([self.stereo.baseline, 0.0, 0.0], np.float32) \
+            if self.stereo.t_lr is None else \
+            np.asarray(self.stereo.t_lr, np.float32)
+        return R, t
+
+    @property
     def bf(self) -> float:
         return self.camera.fx * self.stereo.baseline
 
 
 def from_yaml(path: str) -> SlamConfig:
     """Load an ORB-SLAM3-style YAML (File.version 1.0 key naming,
-    Settings.cc:144-177). Minimal parser: `Key.sub: value` lines."""
+    Settings.cc:144-177). Minimal parser: `Key.sub: value` lines plus
+    cv::FileStorage `!!opencv-matrix` blocks (rows/cols/data) as used by the
+    EuRoC/TUM-VI configs for Stereo.T_c1_c2 and IMU.T_b_c1."""
+    import re
     vals = {}
-    with open(path) as f:
-        for line in f:
-            line = line.split("#")[0].strip()
-            if ":" not in line:
-                continue
-            k, v = line.split(":", 1)
-            k, v = k.strip().strip('"'), v.strip().strip('"')
-            try:
-                vals[k] = float(v)
-            except ValueError:
-                vals[k] = v
+    text = open(path).read()
+    # opencv-matrix blocks: Key: !!opencv-matrix ... data: [ ... ]
+    for mname, data in re.findall(
+            r"([\w.]+):\s*!!opencv-matrix.*?data:\s*\[([^\]]*)\]",
+            text, flags=re.S):
+        vals[mname] = np.asarray(
+            [float(x) for x in re.split(r"[,\s]+", data.strip()) if x],
+            np.float64)
+    for line in text.splitlines():
+        line = line.split("#")[0].strip()
+        if ":" not in line or "!!opencv-matrix" in line:
+            continue
+        k, v = line.split(":", 1)
+        k, v = k.strip().strip('"'), v.strip().strip('"')
+        if k in vals or not k or not v:
+            continue
+        try:
+            vals[k] = float(v)
+        except ValueError:
+            vals[k] = v
 
     cfg = SlamConfig()
     cam_type = str(vals.get("Camera.type", vals.get("Camera1.type", "PinHole")))
@@ -139,6 +169,36 @@ def from_yaml(path: str) -> SlamConfig:
             if key in vals:
                 setattr(cfg.camera, attr, float(vals[key]))
                 break
+    k = [float(vals.get(f"Camera1.k{i}", vals.get(f"Camera.k{i}", 0.0)))
+         for i in (1, 2, 3, 4)]
+    cfg.camera.k = tuple(k)
+    # second camera (fisheye two-camera rigs: EuRoC/TUM-VI KB8 configs)
+    if "Camera2.fx" in vals:
+        cfg.camera2 = CameraConfig(
+            model=cfg.camera.model,
+            fx=float(vals["Camera2.fx"]), fy=float(vals["Camera2.fy"]),
+            cx=float(vals["Camera2.cx"]), cy=float(vals["Camera2.cy"]),
+            k=tuple(float(vals.get(f"Camera2.k{i}", 0.0)) for i in (1, 2, 3, 4)),
+            width=cfg.camera.width, height=cfg.camera.height)
+        if cfg.camera.model == "kannala_brandt8":
+            cfg.stereo.fisheye = True
+    # stereo extrinsic T_c1_c2 (pose of cam2 in cam1 — our R_lr/t_lr)
+    for key in ("Stereo.T_c1_c2", "Tlr"):
+        if key in vals and np.size(vals[key]) >= 12:
+            T = np.asarray(vals[key], np.float64).reshape(-1)[:16]
+            T = T.reshape(4, 4) if T.size == 16 else \
+                np.vstack([T[:12].reshape(3, 4), [0, 0, 0, 1]])
+            cfg.stereo.R_lr = tuple(T[:3, :3].reshape(-1).tolist())
+            cfg.stereo.t_lr = tuple(T[:3, 3].tolist())
+            cfg.stereo.baseline = float(np.linalg.norm(T[:3, 3]))
+            break
+    # IMU-from-camera extrinsic
+    if "IMU.T_b_c1" in vals and np.size(vals["IMU.T_b_c1"]) >= 12:
+        T = np.asarray(vals["IMU.T_b_c1"], np.float64).reshape(-1)
+        T = T[:16].reshape(4, 4) if T.size >= 16 else \
+            np.vstack([T[:12].reshape(3, 4), [0, 0, 0, 1]])
+        cfg.imu.R_bc = tuple(T[:3, :3].reshape(-1).tolist())
+        cfg.imu.t_bc = tuple(T[:3, 3].tolist())
     if "Camera.width" in vals:
         cfg.camera.width = int(vals["Camera.width"])
     if "Camera.height" in vals:

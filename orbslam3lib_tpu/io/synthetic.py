@@ -31,10 +31,15 @@ class StereoRig:
     width: int = 640
     height: int = 400
     baseline: float = 0.11
+    model: str = "pinhole"            # "pinhole" | "kannala_brandt8"
+    k: tuple = (0.0, 0.0, 0.0, 0.0)   # KB8 theta-polynomial coefficients
 
     @property
     def params(self) -> np.ndarray:
-        return np.asarray([self.fx, self.fy, self.cx, self.cy], dtype=np.float32)
+        if self.model == "pinhole":
+            return np.asarray([self.fx, self.fy, self.cx, self.cy], dtype=np.float32)
+        return np.asarray([self.fx, self.fy, self.cx, self.cy, *self.k],
+                          dtype=np.float32)
 
     @property
     def bf(self) -> float:
@@ -95,8 +100,15 @@ class CorridorWorld:
         H, W = rig.height, rig.width
         u, v = np.meshgrid(np.arange(W, dtype=np.float32),
                            np.arange(H, dtype=np.float32))
-        d_c = np.stack([(u - rig.cx) / rig.fx, (v - rig.cy) / rig.fy,
-                        np.ones_like(u)], axis=-1)  # (H,W,3)
+        if rig.model == "kannala_brandt8":
+            from ..utils import cameras as _cams
+            import jax.numpy as _jnp
+            uv = np.stack([u.reshape(-1), v.reshape(-1)], axis=-1)
+            d_c = np.asarray(_cams.kb8_unproject(
+                _jnp.asarray(rig.params), _jnp.asarray(uv))).reshape(H, W, 3)
+        else:
+            d_c = np.stack([(u - rig.cx) / rig.fx, (v - rig.cy) / rig.fy,
+                            np.ones_like(u)], axis=-1)  # (H,W,3)
         d_w = d_c @ R_cw.T
         o = c_w
 

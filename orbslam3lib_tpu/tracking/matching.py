@@ -175,6 +175,46 @@ def match_rectified_stereo(xy_l, level_l, desc_l, valid_l,
     return u_r, depth
 
 
+@partial(jax.jit, static_argnames=("bf",))
+def match_fisheye_stereo(xy_l, desc_l, valid_l, xy_r, desc_r, valid_r,
+                         cam_params_l, cam_params_r, R_lr, t_lr, bf: float):
+    """Two-camera (non-rectified, fisheye) stereo matching + triangulation.
+
+    Semantics of the reference's PRODUCTION stereo path
+    (Frame::ComputeStereoFishEyeMatches, Frame.cc:1142-1251: DSP kNN matches
+    accepted at Hamming dist < 70 — fixed gate replacing the ratio test —
+    then KannalaBrandt8::TriangulateMatches per match: parallax, chirality
+    and 5.991-chi2 reprojection checks in both views).
+
+    R_lr/t_lr: pose of the right camera in the left frame (x_l = R_lr x_r +
+    t_lr). Returns (u_r, depth) in the rectified-path contract: depth is the
+    left-camera z of the triangulated point and u_r the VIRTUAL disparity
+    coordinate u - bf/z (the RGB-D trick), so every downstream consumer
+    (spawning, pose opt, BA) works unchanged.
+    """
+    d = hamming_matrix(desc_l, desc_r, valid_l, valid_r)
+    best = jnp.argmin(d, axis=1)
+    d1 = jnp.min(d, axis=1)
+    ok = valid_l & (d1 <= TH_FISHEYE)            # dist<70, Frame.cc:1169
+
+    ray_l = cameras.kb8_unproject(cam_params_l, xy_l)        # z=1 rays
+    ray_r = cameras.kb8_unproject(cam_params_r, xy_r[best])
+    p3d, cosp, z1, z2 = cameras.triangulate_two_view(ray_l, ray_r, R_lr, t_lr)
+    ok = ok & (cosp < 0.9998) & (z1 > 0.05) & (z2 > 0.05)
+
+    # reprojection gates in both views (KannalaBrandt8::TriangulateMatches)
+    uv_l_hat = cameras.kb8_project(cam_params_l, p3d)
+    e_l = jnp.sum((uv_l_hat - xy_l) ** 2, axis=-1)
+    p_r = jnp.einsum("ij,nj->ni", R_lr.T, p3d - t_lr[None, :])
+    uv_r_hat = cameras.kb8_project(cam_params_r, p_r)
+    e_r = jnp.sum((uv_r_hat - xy_r[best]) ** 2, axis=-1)
+    ok = ok & (e_l < 5.991) & (e_r < 5.991)
+
+    depth = jnp.where(ok, p3d[:, 2], 0.0)
+    u_r = jnp.where(ok, xy_l[:, 0] - bf / jnp.maximum(depth, 1e-3), -1.0)
+    return u_r, depth
+
+
 @partial(jax.jit, static_argnames=("bf", "min_z", "n_levels"))
 def refine_stereo_sad(canvas_l, canvas_r, xy_l, level_l, valid_l, u_r, depth,
                       bf: float, min_z: float, n_levels: int = 8):

@@ -312,7 +312,8 @@ class Tracker:
         cfg = self.cfg
         if img.ndim == 2:
             img = img[None]
-        want_canvas = self.sensor == "stereo" and cfg.stereo.sad_refine
+        want_canvas = (self.sensor == "stereo" and cfg.stereo.sad_refine
+                       and not cfg.stereo.fisheye)
         with self.timer.stage("extract"):
             ex = extract_orb_stereo(
                 jnp.asarray(img), jnp.float32(self.threshold.t),
@@ -320,7 +321,16 @@ class Tracker:
                 return_canvas=want_canvas)
             feats, canvas = ex if want_canvas else (ex, None)
             jax.block_until_ready(feats.xy)
-        if self.sensor == "stereo":
+        if self.sensor == "stereo" and cfg.stereo.fisheye:
+            with self.timer.stage("stereo_match"):
+                cam2 = cfg.camera2 or cfg.camera
+                R_lr, t_lr = cfg.stereo_extrinsics
+                u_r, depth = matching.match_fisheye_stereo(
+                    feats.xy[0], feats.desc[0], feats.valid[0],
+                    feats.xy[1], feats.desc[1], feats.valid[1],
+                    self.cam_params, jnp.asarray(cam2.params),
+                    jnp.asarray(R_lr), jnp.asarray(t_lr), float(cfg.bf))
+        elif self.sensor == "stereo":
             with self.timer.stage("stereo_match"):
                 u_r, depth = matching.match_rectified_stereo(
                     feats.xy[0], feats.level[0], feats.desc[0], feats.valid[0],
