@@ -40,6 +40,7 @@ class System:
                  vocabulary=None, use_pipeline: bool = False,
                  enable_loop_closing: bool = True,
                  enable_timing: bool = False,
+                 background_mapping: bool = False,
                  pose_callback: Optional[Callable] = None):
         self.sensor = sensor
         cfg.use_imu = sensor in (SENSOR_IMU_MONOCULAR, SENSOR_IMU_STEREO)
@@ -47,7 +48,8 @@ class System:
             else "stereo"
         self.tracker = Tracker(cfg, sensor=base, vocabulary=vocabulary,
                                enable_loop_closing=enable_loop_closing,
-                               enable_timing=enable_timing)
+                               enable_timing=enable_timing,
+                               async_mapping=background_mapping)
         self.cfg = cfg
         self.pose_callback = pose_callback
         self._shutdown = False
@@ -171,6 +173,7 @@ class System:
         self._shutdown = True
         if self._consumer is not None:
             self._consumer.join(timeout=5.0)
+        self.tracker.shutdown_mapping()
         if self.tracker.timer.enabled:
             self.tracker.timer.print_time_stats()
 

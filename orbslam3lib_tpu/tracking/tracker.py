@@ -198,7 +198,7 @@ class Tracker:
 
     def __init__(self, cfg: SlamConfig, sensor: str = "stereo",
                  vocabulary=None, enable_loop_closing: bool = True,
-                 enable_timing: bool = False):
+                 enable_timing: bool = False, async_mapping: bool = False):
         assert sensor in ("stereo", "mono")
         self.cfg = cfg
         self.sensor = sensor
@@ -242,6 +242,23 @@ class Tracker:
         # gap registry for the VI window BA: dst kf id -> (src kf id, pre)
         self._gap_by_dst: dict = {}
         self._prev_note_kf_id: int = -1
+        # background mapping thread (SURVEY.md §2.4 P2: LocalMapping +
+        # LoopClosing run off the tracking thread; the reference serializes
+        # tracker-vs-mapper with Map::mMutexMapUpdate — here _map_lock).
+        # Device work still overlaps either way via JAX async dispatch; the
+        # lock only serializes host-side map-reference read-modify-writes.
+        import queue as _queue
+        import threading as _threading
+        self._map_lock = _threading.RLock()
+        self._map_queue = None
+        self._mapper_thread = None
+        self._mapper_stop = False
+        self._in_mapper_thread = False
+        if async_mapping:
+            self._map_queue = _queue.Queue()
+            self._mapper_thread = _threading.Thread(
+                target=self._mapper_loop, daemon=True)
+            self._mapper_thread.start()
         self.anchor_state: Optional[InertialFrameState] = None
 
     # -- plumbing -----------------------------------------------------------
@@ -351,20 +368,23 @@ class Tracker:
         n_feat = int(feats.n_valid[0])
         self.threshold.update(n_feat)
 
-        if self.state == NOT_INITIALIZED:
-            out = self._initialize(feats, u_r, depth, ts, n_feat)
-        elif self.state in (OK, RECENTLY_LOST):
-            with self.timer.stage("track"):
-                out = self._track(feats, u_r, depth, ts, n_feat)
-        else:
-            out = {"state": self.state, "n_inliers": 0}
+        # the map-touching section serializes against the mapper thread
+        # (the reference's per-frame Map::mMutexMapUpdate, Tracking.cc:1939)
+        with self._map_lock:
+            if self.state == NOT_INITIALIZED:
+                out = self._initialize(feats, u_r, depth, ts, n_feat)
+            elif self.state in (OK, RECENTLY_LOST):
+                with self.timer.stage("track"):
+                    out = self._track(feats, u_r, depth, ts, n_feat)
+            else:
+                out = {"state": self.state, "n_inliers": 0}
 
-        self.frame_id += 1
-        self.stats["n_frames"] += 1
-        self._pre_frame = None  # consumed (re-created at next feed_imu)
-        if self.pose is not None:
-            R, t = self.pose
-            self.trajectory.append((ts, np.array(R), np.array(t)))
+            self.frame_id += 1
+            self.stats["n_frames"] += 1
+            self._pre_frame = None  # consumed (re-created at next feed_imu)
+            if self.pose is not None:
+                R, t = self.pose
+                self.trajectory.append((ts, np.array(R), np.array(t)))
         return out
 
     # -- initialization -----------------------------------------------------
@@ -648,8 +668,63 @@ class Tracker:
         self.stats["n_kf"] += 1
         kid = int(kf_id)
 
-        # local-mapping pipeline (LocalMapping::Run order, LocalMapping.cc:64):
-        # cull young landmarks -> triangulate with neighbors -> local BA
+        # synchronous tail: the tracker needs these immediately
+        if self.place_rec is not None:
+            self.place_rec.add(kid, self.map.kf_desc[kid],
+                               self.map.kf_feat_valid[kid])
+        self._note_kf_imu(ts)
+
+        if self._map_queue is not None:
+            # background LocalMapping/LoopClosing thread (SURVEY.md §2.4 P2):
+            # signal abort to any running GBA (mbAbortBA analog) and enqueue
+            if self.loop_closer is not None:
+                self.loop_closer.abort_gba = True
+            self._map_queue.put(kid)
+        else:
+            self._mapping_pipeline(kid)
+
+    def _mapper_loop(self):
+        """Background LocalMapping/LoopClosing thread (LocalMapping::Run /
+        LoopClosing::Run poll loops, LocalMapping.cc:64, LoopClosing.cc:90)."""
+        import queue as _queue
+        while not self._mapper_stop:
+            try:
+                kid = self._map_queue.get(timeout=0.05)
+            except _queue.Empty:
+                continue
+            try:
+                self._in_mapper_thread = True
+                with self._map_lock:
+                    self._mapping_pipeline(kid)
+            except Exception as e:  # never kill the thread; surface the error
+                Verbose.log(f"[mapper] error on KF {kid}: {e!r}")
+            finally:
+                self._in_mapper_thread = False
+                self._map_queue.task_done()
+
+    def wait_mapping_idle(self, timeout: float = 60.0):
+        """Block until the mapper queue drains (tests / shutdown)."""
+        if self._map_queue is None:
+            return
+        import time
+        t0 = time.time()
+        while (self._map_queue.unfinished_tasks > 0
+               and time.time() - t0 < timeout):
+            time.sleep(0.005)
+
+    def shutdown_mapping(self):
+        if self._mapper_thread is not None:
+            self.wait_mapping_idle()
+            self._mapper_stop = True
+            self._mapper_thread.join(timeout=5.0)
+            self._mapper_thread = None
+
+    def _mapping_pipeline(self, kid: int):
+        """Per-keyframe mapping work (LocalMapping::Run order,
+        LocalMapping.cc:64): cull young landmarks -> triangulate with
+        neighbors -> local BA -> loop closing -> merge -> VI window BA.
+        Runs inline (sync mode) or on the mapper thread (async mode)."""
+        cfg = self.cfg
         with self.timer.stage("local_mapping"):
             self.map = lm_ops.cull_mappoints(self.map, jnp.int32(kid))
             for nb in range(max(0, kid - 2), kid):
@@ -660,10 +735,7 @@ class Tracker:
         with self.timer.stage("local_ba"):
             self._run_local_ba(kid)
 
-        # place recognition + loop closing
         if self.place_rec is not None:
-            self.place_rec.add(kid, self.map.kf_desc[kid],
-                               self.map.kf_feat_valid[kid])
             if self.loop_closer is not None:
                 with self.timer.stage("loop_closing"):
                     n_before = self.loop_closer.n_loops
@@ -671,7 +743,9 @@ class Tracker:
                         self.map, kid, self.cam_params)
                     if self.loop_closer.n_loops > n_before:
                         self.stats["n_loops"] += 1
-                        self.pose = (self.map.kf_R[kid], self.map.kf_t[kid])
+                        if not self._in_mapper_thread:
+                            self.pose = (self.map.kf_R[kid],
+                                         self.map.kf_t[kid])
 
             # cross-map merge detection (NewDetectCommonRegions merge branch
             # -> MergeLocal): query retired maps' BoW databases
@@ -681,14 +755,13 @@ class Tracker:
                                                    self.cam_params):
                         self.stats["n_map_merges"] += 1
                         self._rebuild_place_rec()
-                        self.pose = (self.map.kf_R[kid], self.map.kf_t[kid])
+                        if not self._in_mapper_thread:
+                            self.pose = (self.map.kf_R[kid],
+                                         self.map.kf_t[kid])
                         Verbose.log("[tracker] merged maps in atlas")
 
-        self._note_kf_imu(ts)
-
         # windowed visual-inertial BA once IMU is live (LocalInertialBA,
-        # Optimizer.cc:2405) — runs after _note_kf_imu so the newest KF gap
-        # preintegration is registered
+        # Optimizer.cc:2405) — after _note_kf_imu registered the newest gap
         if cfg.use_imu and self.imu_ready:
             with self.timer.stage("vi_ba"):
                 self._run_vi_window(kid)
@@ -730,12 +803,15 @@ class Tracker:
         self.map = apply_vi_window(self.map, jnp.asarray(ids),
                                    jnp.asarray(fixed), res)
         self.imu_bias = (res.bg, res.ba)
-        last = len(sel) - 1
-        self.frame_state_v = res.v[last]
-        self.pose = (self.map.kf_R[kf_id], self.map.kf_t[kf_id])
-        self.anchor_state = InertialFrameState(
-            R=self.map.kf_R[kf_id], t=self.map.kf_t[kf_id], v=res.v[last],
-            bg=res.bg, ba=res.ba)
+        if not self._in_mapper_thread:
+            # per-frame state refresh only when mapping runs inline — on the
+            # mapper thread the tracker has already moved past this KF
+            last = len(sel) - 1
+            self.frame_state_v = res.v[last]
+            self.pose = (self.map.kf_R[kf_id], self.map.kf_t[kf_id])
+            self.anchor_state = InertialFrameState(
+                R=self.map.kf_R[kf_id], t=self.map.kf_t[kf_id], v=res.v[last],
+                bg=res.bg, ba=res.ba)
 
     def _run_local_ba(self, kf_id: int):
         cfg = self.cfg
@@ -755,7 +831,8 @@ class Tracker:
                 self.cam_params, float(cfg.bf),
                 cam_model=cfg.camera.model_id,
                 n_ba_points=cfg.ba.max_points, n_iters=cfg.ba.n_iters)
-            self.pose = (self.map.kf_R[kf_id], self.map.kf_t[kf_id])
+            if not self._in_mapper_thread:
+                self.pose = (self.map.kf_R[kf_id], self.map.kf_t[kf_id])
 
     # -- IMU initialization staging (LocalMapping::InitializeIMU) -----------
     def _note_kf_imu(self, ts: float):
