@@ -170,7 +170,13 @@ class MapMerger:
             m.kf_R[kf_id], m.kf_t[kf_id], R12, t12, s12,
             old.kf_R[cand], old.kf_t[cand])
         src_idx = arc["map_idx"]
+        n_dst_before = int(m.n_kf)
+        # the old map's cand KF lands at this index after merge_into's
+        # valid-compacting append
+        cand_new = n_dst_before + int(np.sum(
+            np.asarray(old.kf_valid[:cand + 1]))) - 1
         atlas.merge(src_idx, Rw, tw, sw)
+        self._welding_ba(atlas, kf_id, cand_new, cam_params)
         # fix up archive bookkeeping after the source map's removal
         self.archives.pop(pos)
         for a in self.archives:
@@ -180,6 +186,36 @@ class MapMerger:
         self.consistent = (-1, -1)
         self.n_merges += 1
         return True
+
+    WELD_HALF = 3  # KFs on each side of the weld seam
+
+    def _welding_ba(self, atlas, kf_cur: int, kf_old: int, cam_params):
+        """Welding-window BA after the map fusion (MergeLocal's local BA over
+        the weld region, Optimizer.cc:3532 LocalBundleAdjustment variant):
+        jointly refine the KFs around both sides of the seam with the current
+        KF held fixed (it carries the Sim3-verified alignment)."""
+        from .map_ba import map_window_ba
+        m = atlas.current_map
+        n_kf = int(m.n_kf)
+        w = self.WELD_HALF
+        sel = sorted(set(
+            list(range(max(0, kf_cur - w), min(kf_cur + 1, n_kf))) +
+            list(range(max(0, kf_old - w), min(kf_old + w + 1, n_kf)))))
+        if len(sel) < 3:
+            return
+        C = 2 * (2 * w + 1)
+        ids = np.full(C, -1, np.int32)
+        fixed = np.zeros(C, bool)
+        ids[:len(sel)] = sel[:C]
+        fixed[:len(sel)] = [k == kf_cur for k in sel[:C]]
+        if not fixed.any():
+            fixed[0] = True  # gauge fallback
+        cfg = self.cfg
+        atlas.current_map = map_window_ba(
+            m, jnp.asarray(ids), jnp.asarray(fixed), cam_params,
+            float(cfg.bf), cam_model=cfg.camera.model_id,
+            n_ba_points=min(cfg.ba.max_points, int(m.max_mp)),
+            n_iters=cfg.ba.n_iters)
 
 
 @partial(jax.jit, static_argnames=("e_max",))

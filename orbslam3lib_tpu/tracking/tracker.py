@@ -220,7 +220,7 @@ class Tracker:
         self.cam_params = jnp.asarray(cfg.camera.params)
         self.stats = {"n_kf": 0, "n_frames": 0, "track_fail": 0,
                       "n_reloc": 0, "n_new_maps": 0, "n_loops": 0,
-                      "n_map_merges": 0}
+                      "n_map_merges": 0, "n_resets": 0}
         self.lost_since: Optional[float] = None
         # mono init state
         self._init_frame = None
@@ -242,6 +242,13 @@ class Tracker:
         # gap registry for the VI window BA: dst kf id -> (src kf id, pre)
         self._gap_by_dst: dict = {}
         self._prev_note_kf_id: int = -1
+        # staged visual-inertial BA schedule (InitializeIMU -> VIBA1 at
+        # mTinit>5s -> VIBA2 at >15s, mono scale refinement every 10s from
+        # 25s on; LocalMapping.cc:187-248)
+        self._imu_init_ts: Optional[float] = None
+        self._viba_stage = 0            # 0 = none, 1 = VIBA1 done, 2 = VIBA2
+        self._next_scale_ref_ts: Optional[float] = None
+        self._last_frame_ts: Optional[float] = None
         # background mapping thread (SURVEY.md §2.4 P2: LocalMapping +
         # LoopClosing run off the tracking thread; the reference serializes
         # tracker-vs-mapper with Map::mMutexMapUpdate — here _map_lock).
@@ -327,6 +334,21 @@ class Tracker:
     def process_frame(self, img, ts: float) -> dict:
         """img: (2,H,W) stereo pair or (H,W) mono image."""
         cfg = self.cfg
+        # timestamp sanity guards (Tracking.cc:1871-1909): a backwards jump
+        # resets the active map; a forward gap > 1 s spawns a new map in the
+        # Atlas (inertial chains can't bridge it) or resets a small map.
+        if self._last_frame_ts is not None and self.state != NOT_INITIALIZED:
+            dt_frame = ts - self._last_frame_ts
+            if dt_frame < 0.0:
+                Verbose.log("[tracker] timestamp went backwards - map reset")
+                self._reset_active_map()
+            elif dt_frame > 1.0:
+                Verbose.log(f"[tracker] timestamp jump {dt_frame:.2f}s")
+                if int(self.map.n_kf) > 10:
+                    self._spawn_new_map()
+                else:
+                    self._reset_active_map()
+        self._last_frame_ts = ts
         if img.ndim == 2:
             img = img[None]
         want_canvas = (self.sensor == "stereo" and cfg.stereo.sad_refine
@@ -588,29 +610,64 @@ class Tracker:
         # timeout -> LOST -> new map (CreateMapInAtlas) if map is big enough
         if self.lost_since is not None and ts - self.lost_since > 5.0:
             if int(self.map.n_kf) > 10:
-                # retire the current map's BoW database into the merger so
-                # the new map can later be merged back (MergeLocal detection)
-                if self.map_merger is not None and self.place_rec is not None:
-                    self.map_merger.archive(self.atlas.current, self.place_rec)
-                self.atlas.create_new_map()
-                self.stats["n_new_maps"] += 1
-                if self.place_rec is not None:
-                    from .reloc import make_place_recognition
-                    self.place_rec = make_place_recognition(
-                        self.place_rec.voc, self.cfg.map.max_kf)
-                    if self.loop_closer is not None:
-                        from ..mapping.loop_closing import LoopCloser
-                        n_loops = self.loop_closer.n_loops
-                        self.loop_closer = LoopCloser(self.cfg, self.place_rec)
-                        self.loop_closer.n_loops = n_loops
-                Verbose.log("[tracker] spawning new map in atlas")
-            self.state = NOT_INITIALIZED
-            self.pose = None
-            self._init_frame = None
-            self.imu_ready = False
-            self._kf_preints, self._kf_times = [], []
-            self._gap_by_dst, self._prev_note_kf_id = {}, -1
+                self._spawn_new_map()
+            else:
+                self._reset_tracking_state()
         return {"state": self.state, "n_inliers": 0}
+
+    def _reset_tracking_state(self):
+        """Return the tracker to NOT_INITIALIZED (shared by loss timeout,
+        timestamp guards and map resets)."""
+        self.state = NOT_INITIALIZED
+        self.pose = None
+        self._init_frame = None
+        self.lost_since = None
+        self.last_kf_id = -1
+        self.last_kf_frame = -999
+        self.ref_kf_matches = 0
+        self.imu_ready = False
+        self._imu_init_ts = None
+        self._viba_stage = 0
+        self._next_scale_ref_ts = None
+        self._kf_preints, self._kf_times = [], []
+        self._gap_by_dst, self._prev_note_kf_id = {}, -1
+
+    def _spawn_new_map(self):
+        """CreateMapInAtlas (Tracking.cc:2720): retire the current map +
+        its BoW database (for later merge-back) and start a fresh one."""
+        # retire the current map's BoW database into the merger so
+        # the new map can later be merged back (MergeLocal detection)
+        if self.map_merger is not None and self.place_rec is not None:
+            self.map_merger.archive(self.atlas.current, self.place_rec)
+        self.atlas.create_new_map()
+        self.stats["n_new_maps"] += 1
+        if self.place_rec is not None:
+            from .reloc import make_place_recognition
+            self.place_rec = make_place_recognition(
+                self.place_rec.voc, self.cfg.map.max_kf)
+            if self.loop_closer is not None:
+                from ..mapping.loop_closing import LoopCloser
+                n_loops = self.loop_closer.n_loops
+                self.loop_closer = LoopCloser(self.cfg, self.place_rec)
+                self.loop_closer.n_loops = n_loops
+        Verbose.log("[tracker] spawning new map in atlas")
+        self._reset_tracking_state()
+
+    def _reset_active_map(self):
+        """ResetActiveMap (Tracking.cc): clear the current map in place."""
+        self.stats["n_resets"] += 1
+        self.atlas.current_map = ms.empty_map(
+            self.cfg.map.max_kf, self.cfg.map.max_mp, self.cfg.orb.max_kp)
+        if self.place_rec is not None:
+            from .reloc import make_place_recognition
+            self.place_rec = make_place_recognition(
+                self.place_rec.voc, self.cfg.map.max_kf)
+            if self.loop_closer is not None:
+                from ..mapping.loop_closing import LoopCloser
+                n_loops = self.loop_closer.n_loops
+                self.loop_closer = LoopCloser(self.cfg, self.place_rec)
+                self.loop_closer.n_loops = n_loops
+        self._reset_tracking_state()
 
     # -- keyframe policy (NeedNewKeyFrame, Tracking.cc:3125) ----------------
     def _need_new_keyframe(self, n_inliers, feats: Features, mp_feat, depth,
@@ -765,12 +822,36 @@ class Tracker:
         if cfg.use_imu and self.imu_ready:
             with self.timer.stage("vi_ba"):
                 self._run_vi_window(kid)
+            # staged full VI-BA refinement (LocalMapping.cc:206-248):
+            # VIBA1 when >5s of inertial data, VIBA2 when >15s, then mono
+            # scale refinement every 10s from 25s on
+            t_init = (self._kf_times[-1] - self._imu_init_ts
+                      if self._imu_init_ts is not None and self._kf_times
+                      else 0.0)
+            if self._viba_stage < 1 and t_init > 5.0:
+                with self.timer.stage("viba1"):
+                    self._run_full_inertial_ba(kid)
+                self._viba_stage = 1
+                Verbose.log("[tracker] VIBA1 done")
+            elif self._viba_stage < 2 and t_init > 15.0:
+                with self.timer.stage("viba2"):
+                    self._run_full_inertial_ba(kid)
+                self._viba_stage = 2
+                self._next_scale_ref_ts = self._imu_init_ts + 25.0
+                Verbose.log("[tracker] VIBA2 done")
+            elif (self.sensor == "mono" and self._viba_stage >= 2
+                  and self._next_scale_ref_ts is not None and self._kf_times
+                  and self._kf_times[-1] >= self._next_scale_ref_ts):
+                with self.timer.stage("scale_refinement"):
+                    self._refine_scale()
+                self._next_scale_ref_ts += 10.0
 
-    def _run_vi_window(self, kf_id: int):
+    def _run_vi_window(self, kf_id: int, window_cap: Optional[int] = None,
+                       n_iters: Optional[int] = None):
         from ..mapping.vi_ba import apply_vi_window, local_inertial_ba
         cfg = self.cfg
         n_kf = int(self.map.n_kf)
-        C = cfg.ba.window_size + 1
+        C = window_cap if window_cap is not None else cfg.ba.window_size + 1
         # longest consecutive chain of KFs ending at kf_id whose gaps all
         # have registered preintegrations (merges/new maps break the chain)
         sel = [kf_id]
@@ -798,7 +879,8 @@ class Tracker:
         res = local_inertial_ba(
             self.map, jnp.asarray(ids), jnp.asarray(fixed), pres_stack,
             jnp.asarray(pre_valid), bg, ba, self.cam_params, float(cfg.bf),
-            cam_model=cfg.camera.model_id, n_iters=cfg.ba.n_iters,
+            cam_model=cfg.camera.model_id,
+            n_iters=n_iters if n_iters is not None else cfg.ba.n_iters,
             n_levels=cfg.orb.n_levels)
         self.map = apply_vi_window(self.map, jnp.asarray(ids),
                                    jnp.asarray(fixed), res)
@@ -812,6 +894,64 @@ class Tracker:
             self.anchor_state = InertialFrameState(
                 R=self.map.kf_R[kf_id], t=self.map.kf_t[kf_id], v=res.v[last],
                 bg=res.bg, ba=res.ba)
+
+    # full window for VIBA1/VIBA2 (FullInertialBA covers every KF; the
+    # fixed-shape equivalent caps the chain — 24 >= the map size at the
+    # 5s/15s staging points for reference keyframe rates)
+    FULL_VI_WINDOW = 24
+
+    def _run_full_inertial_ba(self, kf_id: int, rounds: int = 2):
+        """FullInertialBA (Optimizer.cc:390) equivalent: alternate a global
+        visual BA (poses + landmarks) with a full-chain VI pass (poses +
+        velocities + bias against the preintegration chain, landmarks fixed).
+        Run at the VIBA1 (>5s) and VIBA2 (>15s) staging points
+        (LocalMapping.cc:206-248)."""
+        cfg = self.cfg
+        C = min(self.FULL_VI_WINDOW, int(self.map.max_kf))
+        n_kf = int(self.map.n_kf)
+        ids = np.full(C, -1, np.int32)
+        fixed = np.zeros(C, bool)
+        lo = max(0, n_kf - C)
+        sel = list(range(lo, n_kf))
+        ids[:len(sel)] = sel
+        fixed[0] = True  # gauge anchor
+        for _ in range(rounds):
+            if len(sel) >= 2:
+                self.map = _local_ba(
+                    self.map, jnp.asarray(ids), jnp.asarray(fixed),
+                    self.cam_params, float(cfg.bf),
+                    cam_model=cfg.camera.model_id,
+                    n_ba_points=min(cfg.ba.max_points, int(self.map.max_mp)),
+                    n_iters=cfg.ba.n_iters)
+            self._run_vi_window(kf_id, window_cap=C)
+        if not self._in_mapper_thread:
+            self.pose = (self.map.kf_R[kf_id], self.map.kf_t[kf_id])
+
+    def _refine_scale(self):
+        """Mono scale refinement (LocalMapping::ScaleRefinement, 25/35/45s):
+        re-solve the inertial init problem over the recent KF chain and apply
+        the scale + gravity-direction correction to the whole map."""
+        m = self.map
+        n_kf = int(m.n_kf)
+        k_ids = list(range(max(0, n_kf - len(self._kf_preints) - 1), n_kf))
+        if len(k_ids) < 3 or len(self._kf_preints) < len(k_ids) - 1:
+            return
+        pres = self._kf_preints[-(len(k_ids) - 1):]
+        pres_stack = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *pres)
+        R_wg, bg, ba, s, v = inertial_init_optimization(
+            m.kf_R[jnp.asarray(k_ids)], m.kf_t[jnp.asarray(k_ids)],
+            jnp.ones(len(k_ids), bool), pres_stack,
+            jnp.ones(len(k_ids) - 1, bool), opt_scale=True)
+        s_f = float(s)
+        if not (0.5 < s_f < 2.0):   # sanity gate
+            return
+        Rgw = jnp.swapaxes(R_wg, -1, -2)
+        self.map = transform_map(m, Rgw, jnp.zeros(3), jnp.float32(s_f))
+        self.imu_bias = (bg, ba)
+        if not self._in_mapper_thread and self.last_kf_id >= 0:
+            self.pose = (self.map.kf_R[self.last_kf_id],
+                         self.map.kf_t[self.last_kf_id])
+        Verbose.log(f"[tracker] scale refinement applied (s={s_f:.4f})")
 
     def _run_local_ba(self, kf_id: int):
         cfg = self.cfg
@@ -877,6 +1017,7 @@ class Tracker:
         self.imu_bias = (bg, ba)
         self.frame_state_v = Rgw @ v[-1]
         self.imu_ready = True
+        self._imu_init_ts = self._kf_times[-1] if self._kf_times else None
         # re-anchor current pose from the transformed map
         self.pose = (self.map.kf_R[self.last_kf_id],
                      self.map.kf_t[self.last_kf_id])
