@@ -33,11 +33,11 @@ import jax
 import jax.numpy as jnp
 
 from . import fast, pyramid
-from .orient_brief import brief_descriptors, ic_angles
+from .orient_brief import RAW_RADIUS, orient_and_brief
 
 # Reference tile geometry: 128 wide x 80 high, top-16 per tile
 TILE_H, TILE_W, TILE_K = 80, 128, 16
-DETECT_MARGIN = 21  # >= BRIEF_RADIUS+1 so all patch gathers stay in bounds
+DETECT_MARGIN = RAW_RADIUS + 2  # all 45x45 raw-patch gathers stay in bounds
 MAX_KP_DEFAULT = 1024
 
 
@@ -68,7 +68,7 @@ class Features:
 def _detect_level(img_l: jnp.ndarray):
     """One pyramid level -> per-tile top-K candidates (score, y, x)."""
     score = fast.nms3x3(fast.fast_scores(img_l, margin=DETECT_MARGIN))
-    return fast.tile_topk(score, TILE_H, TILE_W, TILE_K)
+    return fast.tile_topk(score, TILE_H, TILE_W, TILE_K, approx=True)
 
 
 def _canvas(levels: List[jnp.ndarray], h0: int, w0: int) -> jnp.ndarray:
@@ -110,7 +110,7 @@ def extract_orb(img: jnp.ndarray, threshold: jnp.ndarray,
     valid = s > threshold
     s_masked = jnp.where(valid, s, 0.0)
     k = min(max_kp, s.shape[0])
-    top_s, top_i = jax.lax.top_k(s_masked, k)
+    top_s, top_i = jax.lax.approx_max_k(s_masked, k, recall_target=0.95)
     if k < max_kp:  # pad up to capacity
         pad = max_kp - k
         top_s = jnp.pad(top_s, (0, pad))
@@ -121,11 +121,9 @@ def extract_orb(img: jnp.ndarray, threshold: jnp.ndarray,
     kp_valid = top_s > threshold
 
     canvas = _canvas(levels, h0, w0)
-    blur_levels = [pyramid.gaussian_blur_7x7(lv) for lv in levels]
-    blur_canvas = _canvas(blur_levels, h0, w0)
-
-    angle = ic_angles(canvas, kp_l, kp_y, kp_x)
-    desc = brief_descriptors(blur_canvas, kp_l, kp_y, kp_x, angle)
+    # fused orientation + BRIEF: one 45x45 raw-patch gather, per-patch 7x7
+    # blur as matmuls (no full-image blur canvas), binned compare matmul
+    angle, desc = orient_and_brief(canvas, kp_l, kp_y, kp_x)
 
     # level coords -> level-0 coords, pixel-center convention (matches the
     # bilinear resize convention in ops/pyramid.py)

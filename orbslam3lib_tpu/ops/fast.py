@@ -86,11 +86,17 @@ def nms3x3(score: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(lead + score.shape[-2:])
 
 
-def tile_topk(score: jnp.ndarray, tile_h: int, tile_w: int, k: int):
+def tile_topk(score: jnp.ndarray, tile_h: int, tile_w: int, k: int,
+              approx: bool = False):
     """Per-tile top-K candidate selection over a score map.
 
     score: (H, W). The map is zero-padded up to tile multiples (reference
     blocks are 128x80 with per-block budget 16, orbslam_dsp.cpp:57-60).
+
+    With `approx`, uses lax.approx_max_k (TPU-optimized partial reduction,
+    exact on CPU) — the right trade for candidate *budgeting*: the reference
+    HWA detector's own selection is approximate, and any strong corner
+    missed in one tile survives NMS into the next frame.
 
     Returns (scores (T*k,), ys (T*k,), xs (T*k,)) with T = n_tiles; invalid
     slots carry score 0.
@@ -103,7 +109,10 @@ def tile_topk(score: jnp.ndarray, tile_h: int, tile_w: int, k: int):
     nty, ntx = H // tile_h, W // tile_w
     tiles = sp.reshape(nty, tile_h, ntx, tile_w).transpose(0, 2, 1, 3)
     tiles = tiles.reshape(nty * ntx, tile_h * tile_w)
-    top_s, top_i = jax.lax.top_k(tiles, k)  # (T, k)
+    if approx:
+        top_s, top_i = jax.lax.approx_max_k(tiles, k, recall_target=0.95)
+    else:
+        top_s, top_i = jax.lax.top_k(tiles, k)  # (T, k)
     ty = jax.lax.broadcasted_iota(jnp.int32, (nty * ntx, k), 0) // ntx
     tx = jax.lax.broadcasted_iota(jnp.int32, (nty * ntx, k), 0) % ntx
     ys = ty * tile_h + top_i // tile_w

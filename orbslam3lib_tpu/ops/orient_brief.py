@@ -4,19 +4,27 @@ TPU-native re-design of the reference DSP kernels
 (/root/reference dsp/src/orbslam_dsp_rb.cpp: ic_angle_simd:32 accumulates
 m01/m10 moments over the 31x31 circular patch from the VTCM cache;
 calculate_orb_descriptors_optimized16:547 rotates the 256-pair pattern by the
-8-bit encoded cos/sin and gathers/compares). On TPU:
+8-bit encoded cos/sin and gathers/compares). Mapping:
 
-  * angles stay float32 (SURVEY.md §2.2: "angle can stay float on TPU") —
-    the reference's 4-bit log-encoded cos/sin + LUT exists only because HVX
-    lacks cheap float transcendentals;
-  * per-keypoint patches are gathered once from a padded level "canvas"
-    (all pyramid levels stacked in one (L, H, W) array, the VMEM analog of
-    the reference's VTCM block cache, orbslam_dsp_pyramid.h:110-130) via a
-    vmapped dynamic_slice, then all moment/descriptor math is batched
-    (N, patch) elementwise work on the VPU;
-  * descriptors are produced as a (N, 256) 0/1 int8 bit matrix — the layout
-    that lets the Hamming matcher ride the MXU (see ops/matcher.py) — plus a
-    packed (N, 8) uint32 form for compact storage.
+  * ONE per-keypoint patch gather (45x45 raw pixels) feeds everything;
+    the patch gather is the only gather in the whole pipeline — all
+    downstream sampling is dense matmul work on the MXU;
+  * orientation moments m10/m01 are a (N, 2025) @ (2025, 2) matmul against
+    constant circular-mask weights (the reference's umax accumulation);
+  * the 7x7 Gaussian pre-blur (ORBextractor_old.cc computeDescriptors)
+    becomes two banded (39, 45) matmuls applied per patch — the full-image
+    blur disappears entirely;
+  * pattern rotation is quantized to N_ANGLE_BINS=64 discrete angles (the
+    reference itself quantizes: its cos/sin pass through a 4-bit
+    log-magnitude encoding + 10-bit LUT, orbslam_dsp_rb.cpp:89-213 — 64 bins
+    give <= 0.65 px position error, the same order as the reference's
+    integer rounding). For every bin a constant +-1 "compare matrix"
+    D[a] (256, 39*39) holds +1 at each pattern point p1 and -1 at p2, so
+    bit = (I(p1) < I(p2)) = (D[a] @ patch < 0): descriptor extraction for
+    ALL bins is one dense (A*256, 1521) x (1521, N) matmul with exact f32
+    accumulation, followed by one row-gather to select each keypoint's bin;
+  * descriptors are a (N, 256) 0/1 int8 bit matrix — the layout that lets
+    the Hamming matcher ride the MXU (ops/matcher.py).
 
 Scalar NumPy oracles mirror the reference's *_scalar test pattern
 (orbslam_dsp_rb.cpp:356; SURVEY.md §4).
@@ -32,8 +40,12 @@ import jax.numpy as jnp
 from .pattern import BIT_PATTERN_31
 
 HALF_PATCH = 15          # orientation patch radius (31x31)
-BRIEF_RADIUS = 19        # covers rotated pattern (|xy| <= 13 -> r <= 13*sqrt2)
+BRIEF_RADIUS = 19        # rotated pattern radius <= 18.39 (max |p| in table)
 BRIEF_PATCH = 2 * BRIEF_RADIUS + 1  # 39
+BLUR_HALF = 3            # 7-tap Gaussian
+RAW_RADIUS = BRIEF_RADIUS + BLUR_HALF   # 22 -> 45x45 raw patch
+RAW_PATCH = 2 * RAW_RADIUS + 1
+N_ANGLE_BINS = 64
 
 
 @lru_cache(maxsize=None)
@@ -46,6 +58,62 @@ def _circular_mask_and_coords():
     umax = np.round(np.sqrt(HALF_PATCH * HALF_PATCH - v * v + 0.0)).astype(np.int32)
     mask = np.abs(uu) <= umax[:, None]
     return mask.astype(np.float32), uu.astype(np.float32), vv.astype(np.float32)
+
+
+@lru_cache(maxsize=None)
+def _moment_weights_raw() -> np.ndarray:
+    """(RAW_PATCH*RAW_PATCH, 2) constant weights: one matmul computes
+    (m10, m01) over the centered 31x31 circular sub-patch of the raw patch."""
+    mask, uu, vv = _circular_mask_and_coords()
+    W = np.zeros((RAW_PATCH, RAW_PATCH, 2), np.float32)
+    lo, hi = RAW_RADIUS - HALF_PATCH, RAW_RADIUS + HALF_PATCH + 1
+    W[lo:hi, lo:hi, 0] = uu * mask
+    W[lo:hi, lo:hi, 1] = vv * mask
+    return W.reshape(-1, 2)
+
+
+@lru_cache(maxsize=None)
+def _blur_matrix() -> np.ndarray:
+    """(BRIEF_PATCH, RAW_PATCH) banded 7-tap Gaussian (sigma=2), valid conv."""
+    xs = np.arange(-BLUR_HALF, BLUR_HALF + 1, dtype=np.float32)
+    k = np.exp(-0.5 * (xs / 2.0) ** 2)
+    k /= k.sum()
+    B = np.zeros((BRIEF_PATCH, RAW_PATCH), np.float32)
+    for i in range(BRIEF_PATCH):
+        B[i, i:i + 7] = k
+    return B
+
+
+def bin_angles(angle: jnp.ndarray) -> jnp.ndarray:
+    """Quantize angles (radians) to N_ANGLE_BINS discrete bins."""
+    a = angle / (2.0 * np.pi / N_ANGLE_BINS)
+    return jnp.mod(jnp.round(a).astype(jnp.int32), N_ANGLE_BINS)
+
+
+@lru_cache(maxsize=None)
+def _compare_matrices() -> np.ndarray:
+    """(A, 256, BRIEF_PATCH**2) +-1 compare matrices: for bin a, row p has +1
+    at the rotated nearest-integer position of pattern point 1 and -1 at
+    point 2 (cancels exactly when they collide, like I(p)<I(p) = 0)."""
+    pat = BIT_PATTERN_31.astype(np.float64)     # (256, 4) x1 y1 x2 y2
+    A = N_ANGLE_BINS
+    D = np.zeros((A, 256, BRIEF_PATCH * BRIEF_PATCH), np.float32)
+    for a in range(A):
+        th = 2.0 * np.pi * a / A
+        ca, sa = np.cos(th), np.sin(th)
+        for sgn, (cx, cy) in ((1.0, (0, 1)), (-1.0, (2, 3))):
+            rx = np.round(pat[:, cx] * ca - pat[:, cy] * sa).astype(np.int64)
+            ry = np.round(pat[:, cx] * sa + pat[:, cy] * ca).astype(np.int64)
+            idx = (ry + BRIEF_RADIUS) * BRIEF_PATCH + (rx + BRIEF_RADIUS)
+            D[a, np.arange(256), idx] += sgn
+    return D
+
+
+@lru_cache(maxsize=None)
+def _compare_matrices_dev():
+    """Device-resident bf16 copy of the compare tensor (shared by all
+    executables instead of being re-embedded as a per-graph constant)."""
+    return jax.device_put(jnp.asarray(_compare_matrices(), jnp.bfloat16))
 
 
 def _gather_patches(canvas: jnp.ndarray, level: jnp.ndarray, y: jnp.ndarray,
@@ -72,39 +140,66 @@ def ic_angles(canvas: jnp.ndarray, level: jnp.ndarray, y: jnp.ndarray,
     """
     mask, uu, vv = _circular_mask_and_coords()
     patches = _gather_patches(canvas, level, y, x, HALF_PATCH)  # (N,31,31)
-    w = jnp.asarray(mask)
-    m10 = jnp.sum(patches * (jnp.asarray(uu) * w), axis=(-2, -1))
-    m01 = jnp.sum(patches * (jnp.asarray(vv) * w), axis=(-2, -1))
-    return jnp.arctan2(m01, m10)
+    W = jnp.asarray(np.stack([(uu * mask).reshape(-1),
+                              (vv * mask).reshape(-1)], axis=-1))
+    m = patches.reshape(patches.shape[0], -1) @ W               # (N, 2)
+    return jnp.arctan2(m[:, 1], m[:, 0])
+
+
+def _brief_from_blurred(blurred_flat: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
+    """blurred_flat (N, 39*39) -> (N, 256) int8 bits via the binned compare
+    matmul. Accumulation is f32 (exact: each row has a +1 and a -1); only the
+    bf16 rounding of pixel values (<= 0.5 gray) differs from f32 sampling."""
+    D = _compare_matrices_dev()                       # (A, 256, 1521) bf16
+    A = N_ANGLE_BINS
+    p = blurred_flat.astype(jnp.bfloat16)
+    v = jax.lax.dot_general(
+        D.reshape(A * 256, -1), p, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)          # (A*256, N)
+    v = v.reshape(A, 256, -1)
+    bins = bin_angles(angle)                          # (N,)
+    # bin selection as a one-hot weighted reduce (vectorizes on the VPU;
+    # a take_along_axis here would be 256*N scalar gathers)
+    oh = jax.nn.one_hot(bins, A, axis=0, dtype=v.dtype)          # (A, N)
+    vn = jnp.sum(v * oh[:, None, :], axis=0)                     # (256, N)
+    return (vn.T < 0).astype(jnp.int8)
+
+
+def orient_and_brief(canvas: jnp.ndarray, level: jnp.ndarray, y: jnp.ndarray,
+                     x: jnp.ndarray):
+    """Fused orientation + descriptor path: ONE 45x45 raw-patch gather, then
+    moments / 7x7 blur / binned BRIEF as dense matmuls.
+
+    Returns (angle (N,) f32, desc (N, 256) int8). Callers must guarantee a
+    detection margin >= RAW_RADIUS + 1 within each level's extent.
+    """
+    patches = _gather_patches(canvas, level, y, x, RAW_RADIUS)  # (N,45,45)
+    N = patches.shape[0]
+    flat = patches.reshape(N, -1)
+    m = flat @ jnp.asarray(_moment_weights_raw())               # (N, 2)
+    angle = jnp.arctan2(m[:, 1], m[:, 0])
+    B = jnp.asarray(_blur_matrix())                             # (39, 45)
+    blurred = jnp.einsum("ij,njk,lk->nil", B, patches, B,
+                         precision=jax.lax.Precision.HIGH)      # (N,39,39)
+    desc = _brief_from_blurred(blurred.reshape(N, -1), angle)
+    return angle, desc
 
 
 def brief_descriptors(blur_canvas: jnp.ndarray, level: jnp.ndarray,
                       y: jnp.ndarray, x: jnp.ndarray,
                       angle: jnp.ndarray) -> jnp.ndarray:
-    """Rotated-BRIEF 256-bit descriptors -> (N, 256) int8 in {0, 1}.
+    """Rotated-BRIEF 256-bit descriptors -> (N, 256) int8 in {0, 1} from a
+    pre-blurred canvas (compat API; the extractor uses orient_and_brief).
 
     Reference semantics (calculate_orb_descriptors*, orbslam_dsp_rb.cpp:283+
     and ORBextractor_old.cc computeOrbDescriptor): sample position for pattern
     point (px, py) at angle t is (round(px cos - py sin), round(px sin +
-    py cos)); bit = I(p1) < I(p2); image pre-blurred with 7x7 Gaussian.
+    py cos)); bit = I(p1) < I(p2); angle quantized to N_ANGLE_BINS (the
+    reference quantizes via its cos/sin LUT encoding).
     """
-    pat = jnp.asarray(BIT_PATTERN_31.astype(np.float32))  # (256, 4)
-    ca, sa = jnp.cos(angle), jnp.sin(angle)               # (N,)
-
-    def rot_idx(px, py):
-        # (N, 256) flattened patch indices
-        rx = jnp.round(px[None, :] * ca[:, None] - py[None, :] * sa[:, None]).astype(jnp.int32)
-        ry = jnp.round(px[None, :] * sa[:, None] + py[None, :] * ca[:, None]).astype(jnp.int32)
-        return (ry + BRIEF_RADIUS) * BRIEF_PATCH + (rx + BRIEF_RADIUS)
-
-    idx1 = rot_idx(pat[:, 0], pat[:, 1])
-    idx2 = rot_idx(pat[:, 2], pat[:, 3])
-
     patches = _gather_patches(blur_canvas, level, y, x, BRIEF_RADIUS)
-    flat = patches.reshape(patches.shape[0], -1)  # (N, 39*39)
-    t1 = jnp.take_along_axis(flat, idx1, axis=1)
-    t2 = jnp.take_along_axis(flat, idx2, axis=1)
-    return (t1 < t2).astype(jnp.int8)
+    return _brief_from_blurred(patches.reshape(patches.shape[0], -1), angle)
 
 
 def pack_bits_u32(bits: jnp.ndarray) -> jnp.ndarray:
@@ -128,9 +223,12 @@ def ic_angle_oracle(img: np.ndarray, y: int, x: int) -> float:
 
 
 def brief_oracle(blur_img: np.ndarray, y: int, x: int, angle: float) -> np.ndarray:
-    ca, sa = np.cos(angle), np.sin(angle)
+    """Scalar oracle with the same quantized-angle nearest sampling."""
+    a = int(np.round(angle / (2.0 * np.pi / N_ANGLE_BINS))) % N_ANGLE_BINS
+    th = 2.0 * np.pi * a / N_ANGLE_BINS
+    ca, sa = np.cos(th), np.sin(th)
     out = np.zeros(256, dtype=np.int8)
-    for i, (px, py, qx, qy) in enumerate(BIT_PATTERN_31.astype(np.float32)):
+    for i, (px, py, qx, qy) in enumerate(BIT_PATTERN_31.astype(np.float64)):
         r1x, r1y = int(round(px * ca - py * sa)), int(round(px * sa + py * ca))
         r2x, r2y = int(round(qx * ca - qy * sa)), int(round(qx * sa + qy * ca))
         out[i] = np.int8(blur_img[y + r1y, x + r1x] < blur_img[y + r2y, x + r2x])
