@@ -13,6 +13,19 @@ __version__ = "0.1.0"
 # at HIGHEST (verified on v5e). Exact-integer descriptor paths (Hamming bit
 # dots, BoW descent) pin precision=DEFAULT locally — bit counts <= 256 are
 # exact in bf16 — so this global only upgrades the precision-critical math.
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache: first compiles through the TPU tunnel are
+# slow (20-40 s/graph); cache them on disk so tests/bench re-runs are warm.
+if _os.environ.get("ORBSLAM3_TPU_NO_COMPILE_CACHE") != "1":
+    try:
+        _cache = _os.path.join(_os.path.dirname(__file__), _os.pardir, ".jax_cache")
+        _jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache))
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # older jax without these flags: fine, just slower
+        pass

@@ -261,6 +261,33 @@ def apply_pose_graph_result(m: ms.MapState, new_R, new_t, new_s,
     return m._replace(kf_R=new_R, kf_t=se3_t, mp_pos=mp_pos)
 
 
+@partial(jax.jit, static_argnames=("k", "depth", "n_best"))
+def loop_probe(m: ms.MapState, bow_db, active, centroids, idf, kf_id,
+               k: int, depth: int, n_best: int = 3):
+    """Fused per-keyframe loop-detection probe: covisibility row + BoW
+    descent + exclusion + top-N candidates, ONE device round trip.
+
+    Returns a (3*n_best,) f32 pack [ids | scores | covis_weights]. This is
+    the common no-loop-detected path of LoopClosing::NewDetectCommonRegions
+    (LoopClosing.cc:324+) collapsed into a single executable so the per-KF
+    cost is one fetch instead of several (the reference pays a mutex + map
+    traversal here; we pay one MXU matmul for the covisibility row).
+    """
+    from ..models.vocabulary import _descend, bow_vector, l1_scores
+    K = m.max_kf
+    O = ms.observation_matrix(m)                    # (K, P)
+    covis_row = O @ O[kf_id]                        # (K,)
+    words = _descend(centroids, m.kf_desc[kf_id], k, depth)
+    q = bow_vector(words, m.kf_feat_valid[kf_id], idf, k ** depth)
+    s = l1_scores(bow_db, q)
+    ii = jnp.arange(K)
+    exclude = (covis_row > 0) | (~active) | (jnp.abs(ii - kf_id) <= 3)
+    s = jnp.where(exclude, -1.0, s)
+    top_s, top_i = jax.lax.top_k(s, n_best)
+    return jnp.concatenate([top_i.astype(jnp.float32), top_s,
+                            covis_row[top_i]])
+
+
 class LoopCloser:
     """Host-side loop-detection state machine + correction driver."""
 
@@ -282,21 +309,46 @@ class LoopCloser:
         self.gba_iters = gba_iters
         self.abort_gba = False
 
-    def on_keyframe(self, m: ms.MapState, kf_id: int, cam_params) -> ms.MapState:
-        """Run detection for a new keyframe; on a confirmed loop, correct the
-        map. Returns the (possibly corrected) map."""
-        n_kf = int(m.n_kf)
-        # reference gates: skip until enough KFs and not right after a loop
-        if n_kf < 8 or kf_id - self.last_loop_kf < 10:
-            return m
-
-        # covisibility-excluded BoW query (LoopClosing.cc:341+)
+    def _probe(self, m: ms.MapState, kf_id: int):
+        """Candidate retrieval: fused single-fetch path for the dense JAX
+        database; legacy multi-call path for the native inverted file."""
+        from ..tracking.reloc import PlaceRecognition
+        n_best = 3
+        if isinstance(self.pr, PlaceRecognition):
+            voc = self.pr.voc
+            out = np.asarray(loop_probe(
+                m, self.pr.bow_db, self.pr.active, voc.centroids, voc.idf,
+                jnp.int32(kf_id), k=voc.k, depth=voc.depth, n_best=n_best))
+            return (out[:n_best].astype(np.int32), out[n_best:2 * n_best],
+                    out[2 * n_best:])
         covis = np.asarray(ms.covisibility(m)[kf_id])
         exclude = covis > 0
         exclude[kf_id] = True
         exclude[max(0, kf_id - 3):kf_id + 1] = True  # temporal neighbors
         ids, scores = self.pr.query(m.kf_desc[kf_id], m.kf_feat_valid[kf_id],
-                                    exclude_mask=jnp.asarray(exclude), n_best=3)
+                                    exclude_mask=jnp.asarray(exclude),
+                                    n_best=n_best)
+        ids = np.asarray(ids)
+        return (ids, np.asarray(scores),
+                covis[np.clip(ids, 0, m.max_kf - 1)])
+
+    def on_keyframe(self, m: ms.MapState, kf_id: int, cam_params,
+                    n_kf: Optional[int] = None) -> ms.MapState:
+        """Run detection for a new keyframe; on a confirmed loop, correct the
+        map. Returns the (possibly corrected) map. `n_kf` lets callers pass a
+        host-side mirror of map.n_kf to avoid a device sync."""
+        if n_kf is None:
+            n_kf = int(m.n_kf)
+        # reference gates: skip until enough KFs and not right after a loop
+        if n_kf < 8 or kf_id - self.last_loop_kf < 10:
+            return m
+
+        # covisibility-excluded BoW query (LoopClosing.cc:341+) — one fused
+        # probe + one fetch when the live database is the dense JAX one
+        probe = self._probe(m, kf_id)
+        if probe is None:
+            return m
+        ids, scores, covis_w = probe
         cand = int(ids[0])
         if cand < 0 or float(scores[0]) <= 0.015:
             self.consistency_count = 0
@@ -304,7 +356,7 @@ class LoopCloser:
 
         # temporal consistency (3 consecutive hits on covisible candidates)
         if self.consistent_candidate >= 0 and \
-                (covis[cand] > 0 or abs(cand - self.consistent_candidate) <= 2):
+                (covis_w[0] > 0 or abs(cand - self.consistent_candidate) <= 2):
             self.consistency_count += 1
         else:
             self.consistency_count = 1

@@ -111,9 +111,11 @@ def _compare_matrices() -> np.ndarray:
 
 @lru_cache(maxsize=None)
 def _compare_matrices_dev():
-    """Device-resident bf16 copy of the compare tensor (shared by all
-    executables instead of being re-embedded as a per-graph constant)."""
-    return jax.device_put(jnp.asarray(_compare_matrices(), jnp.bfloat16))
+    """Concrete bf16 copy of the compare tensor, built eagerly even when
+    first touched inside a trace (a traced device_put here would cache a
+    tracer and poison later traces)."""
+    with jax.ensure_compile_time_eval():
+        return jnp.asarray(_compare_matrices(), jnp.bfloat16)
 
 
 def _gather_patches(canvas: jnp.ndarray, level: jnp.ndarray, y: jnp.ndarray,

@@ -59,6 +59,59 @@ RECENTLY_LOST = 2
 LOST = 3
 
 
+def _two_stage_core(m: ms.MapState, R0, t0, feat_xy, feat_level, feat_desc,
+                    feat_valid, u_right, depth, cam_params, bf: float,
+                    r_coarse: float, r_fine: float,
+                    cam_model: int, img_w: int, img_h: int,
+                    n_levels: int, pose_rounds: int, pose_iters: int):
+    """Two-stage projection search + pose optimization against the map.
+
+    Returns (R, t, mp_feat (P,), inlier_per_mp (P,), n_inliers, visible,
+    obs (feature-side PoseObs), feat_tracked (F,))."""
+
+    F = feat_xy.shape[0]
+    P = m.max_mp
+
+    def one_stage(R, t, radius, rounds, iters):
+        pm = matching.search_by_projection(
+            m.mp_pos, m.mp_desc, m.mp_valid, m.mp_normal, m.mp_min_dist,
+            m.mp_max_dist, R, t, cam_params, feat_xy, feat_level, feat_desc,
+            feat_valid, radius, cam_model=cam_model, img_w=img_w, img_h=img_h,
+            n_levels=n_levels)
+        # invert the (P,)-side match to the feature side so the LM solve runs
+        # over F (~512) observations, not the landmark capacity (~16384)
+        matched_mp = pm.mp_feat >= 0
+        tgt = jnp.where(matched_mp, pm.mp_feat, F)
+        feat_mp = jnp.full(F, -1, jnp.int32).at[tgt].set(
+            jnp.arange(P, dtype=jnp.int32), mode="drop")
+        has = feat_mp >= 0
+        pw = m.mp_pos[jnp.clip(feat_mp, 0, P - 1)]
+        obs = PoseObs(
+            p_world=pw,
+            uv=feat_xy,
+            inv_sigma2=_inv_sigma2(feat_level, n_levels),
+            u_right=jnp.where(depth > 0, u_right, 0.0),
+            is_stereo=has & (depth > 0),
+            valid=has,
+        )
+        R2, t2, inl_f, n_inl = pose_optimization(
+            R, t, obs, cam_params, cam_model=cam_model, bf=bf,
+            n_rounds=rounds, iters_per_round=iters)
+        return R2, t2, pm, feat_mp, inl_f, n_inl, obs
+
+    R1, t1, _, _, _, _, _ = one_stage(R0, t0, r_coarse, pose_rounds, pose_iters)
+    R2, t2, pm, feat_mp, inl_f, n_inl, obs = one_stage(
+        R1, t1, r_fine, pose_rounds, pose_iters)
+    # landmark-side views of the feature-side result
+    f_of_mp = jnp.clip(pm.mp_feat, 0, F - 1)
+    inl_mp = (pm.mp_feat >= 0) & inl_f[f_of_mp]
+    mp_feat = jnp.where(inl_mp, pm.mp_feat, -1)
+    feat_tracked = (feat_mp >= 0) & inl_f
+    return (R2, t2, mp_feat, inl_mp,
+            jnp.sum((mp_feat >= 0).astype(jnp.int32)), pm.visible, obs,
+            feat_tracked)
+
+
 @partial(jax.jit, static_argnames=("bf", "r_coarse", "r_fine", "cam_model",
                                    "img_w", "img_h", "n_levels",
                                    "pose_rounds", "pose_iters"))
@@ -67,37 +120,78 @@ def _track_two_stage(m: ms.MapState, R0, t0, feat_xy, feat_level, feat_desc,
                      r_coarse: float, r_fine: float,
                      cam_model: int, img_w: int, img_h: int,
                      n_levels: int, pose_rounds: int, pose_iters: int):
-    """Two-stage projection search + pose optimization against the map.
+    out = _two_stage_core(m, R0, t0, feat_xy, feat_level, feat_desc,
+                          feat_valid, u_right, depth, cam_params, bf,
+                          r_coarse, r_fine, cam_model, img_w, img_h,
+                          n_levels, pose_rounds, pose_iters)
+    return out[:7]
 
-    Returns (R, t, mp_feat (P,), inlier_per_mp (P,), n_inliers, visible)."""
 
-    def one_stage(R, t, radius, rounds, iters):
-        pm = matching.search_by_projection(
-            m.mp_pos, m.mp_desc, m.mp_valid, m.mp_normal, m.mp_min_dist,
-            m.mp_max_dist, R, t, cam_params, feat_xy, feat_level, feat_desc,
-            feat_valid, radius, cam_model=cam_model, img_w=img_w, img_h=img_h,
-            n_levels=n_levels)
-        f = jnp.clip(pm.mp_feat, 0, feat_xy.shape[0] - 1)
-        matched = pm.mp_feat >= 0
-        d = depth[f]
-        obs = PoseObs(
-            p_world=m.mp_pos,
-            uv=feat_xy[f],
-            inv_sigma2=_inv_sigma2(feat_level[f], n_levels),
-            u_right=jnp.where(d > 0, u_right[f], 0.0),
-            is_stereo=matched & (d > 0),
-            valid=matched,
-        )
-        R2, t2, inl, n_inl = pose_optimization(
-            R, t, obs, cam_params, cam_model=cam_model, bf=bf,
-            n_rounds=rounds, iters_per_round=iters)
-        return R2, t2, pm, inl, n_inl, obs
+# scalar-pack layout for the fused per-frame step (see _frame_step_stereo):
+# [n_valid, n_inliers, n_close_tracked, n_close_untracked, R(9), t(3)] = 16
+PACK_LEN = 16
 
-    R1, t1, _, _, _, _ = one_stage(R0, t0, r_coarse, pose_rounds, pose_iters)
-    R2, t2, pm, inl, n_inl, obs = one_stage(R1, t1, r_fine, pose_rounds, pose_iters)
-    mp_feat = jnp.where(inl, pm.mp_feat, -1)
-    return (R2, t2, mp_feat, inl,
-            jnp.sum((mp_feat >= 0).astype(jnp.int32)), pm.visible, obs)
+
+@partial(jax.jit, static_argnames=(
+    "bf", "min_z", "close_depth", "r_coarse", "r_fine", "cam_model",
+    "img_w", "img_h", "n_levels", "pose_rounds", "pose_iters", "max_kp",
+    "fisheye", "sad_refine"))
+def _frame_step_stereo(m: ms.MapState, R_prev, t_prev, R_vel, t_vel,
+                       img_pair, threshold, cam_params, cam2_params,
+                       R_lr, t_lr, bf: float, min_z: float,
+                       close_depth: float, r_coarse: float, r_fine: float,
+                       cam_model: int, img_w: int, img_h: int,
+                       n_levels: int, pose_rounds: int, pose_iters: int,
+                       max_kp: int, fisheye: bool, sad_refine: bool):
+    """The whole per-frame stereo tracking hot path as ONE jitted graph:
+    extraction -> stereo match (+SAD refine) -> constant-velocity predict ->
+    two-stage projection track + pose LM -> velocity/stat updates -> a 16-
+    float scalar pack for the host.
+
+    This is the TPU analog of the reference's single FastRPC round trip per
+    frame (orbslam3_extractFeatures does extraction AND matching in one
+    crossing, orbslam_dsp.cpp:1017-1087): the host dispatches one executable
+    and reads back one tiny pack, so the control loop can run at a fetch
+    cadence decoupled from device latency (System's P1 pipeline).
+    """
+    want_canvas = sad_refine and not fisheye
+    ex = extract_orb_stereo(img_pair, threshold, max_kp=max_kp,
+                            n_levels=n_levels, return_canvas=want_canvas)
+    feats, canvas = ex if want_canvas else (ex, None)
+    if fisheye:
+        u_r, depth = matching.match_fisheye_stereo(
+            feats.xy[0], feats.desc[0], feats.valid[0],
+            feats.xy[1], feats.desc[1], feats.valid[1],
+            cam_params, cam2_params, R_lr, t_lr, bf)
+    else:
+        u_r, depth = matching.match_rectified_stereo(
+            feats.xy[0], feats.level[0], feats.desc[0], feats.valid[0],
+            feats.xy[1], feats.level[1], feats.desc[1], feats.valid[1],
+            bf, min_z, n_levels=n_levels)
+        if want_canvas:
+            u_r, depth = matching.refine_stereo_sad(
+                canvas[0], canvas[1], feats.xy[0], feats.level[0],
+                feats.valid[0], u_r, depth, bf=bf, min_z=min_z,
+                n_levels=n_levels)
+    R0, t0 = lie.se3_compose(R_vel, t_vel, R_prev, t_prev)
+    (R, t, mp_feat, inl_mp, n_inl, visible, obs,
+     feat_tracked) = _two_stage_core(
+        m, R0, t0, feats.xy[0], feats.level[0], feats.desc[0],
+        feats.valid[0], u_r, depth, cam_params, bf, r_coarse, r_fine,
+        cam_model, img_w, img_h, n_levels, pose_rounds, pose_iters)
+    Ri, ti = lie.se3_inverse(R_prev, t_prev)
+    R_vel2, t_vel2 = lie.se3_compose(R, t, Ri, ti)
+    close = feats.valid[0] & (depth > 0.05) & (depth < close_depth)
+    n_close_t = jnp.sum((close & feat_tracked).astype(jnp.float32))
+    n_close_u = jnp.sum((close & ~feat_tracked).astype(jnp.float32))
+    mp_visible2 = m.mp_visible + visible.astype(jnp.float32)
+    mp_found2 = m.mp_found + (mp_feat >= 0).astype(jnp.float32)
+    pack = jnp.concatenate([
+        feats.n_valid[:1].astype(jnp.float32),
+        jnp.stack([n_inl.astype(jnp.float32), n_close_t, n_close_u]),
+        R.reshape(-1), t])
+    return (R, t, R_vel2, t_vel2, pack, feats, u_r, depth, mp_feat,
+            mp_visible2, mp_found2)
 
 
 @jax.jit
@@ -198,10 +292,21 @@ class Tracker:
 
     def __init__(self, cfg: SlamConfig, sensor: str = "stereo",
                  vocabulary=None, enable_loop_closing: bool = True,
-                 enable_timing: bool = False, async_mapping: bool = False):
+                 enable_timing: bool = False, async_mapping: bool = False,
+                 pipeline: int = 0):
         assert sensor in ("stereo", "mono")
         self.cfg = cfg
         self.sensor = sensor
+        # pipelined fast path (P1): dispatch `pipeline` fused frame steps
+        # ahead of the host control loop, fetching the 16-float scalar packs
+        # in one device round trip per burst. 0/1 = fully synchronous.
+        self.pipeline = int(pipeline)
+        self._pending: List = []      # in-flight frame records
+        self._chain = None            # device-side (R, t, R_vel, t_vel)
+        self._stack_cache: dict = {}  # burst-size -> stacking jit
+        self._n_kf_host = None        # host mirror of map.n_kf
+        self._dev_static = None       # cached device copies of rig constants
+        self._dev_threshold = None    # (host value, device scalar)
         mc = cfg.map
         self.atlas = Atlas(mc.max_kf, mc.max_mp, cfg.orb.max_kp)
         self.threshold = ThresholdController(
@@ -280,7 +385,11 @@ class Tracker:
     def _setup_place_rec(self, voc):
         from ..mapping.loop_closing import LoopCloser, MapMerger
         from .reloc import make_place_recognition
-        self.place_rec = make_place_recognition(voc, self.cfg.map.max_kf)
+        # the LIVE database is the dense JAX one: add/query stay on device
+        # and the loop closer's per-KF probe fuses into one fetch (the
+        # native inverted file remains for archived-map queries / parity)
+        self.place_rec = make_place_recognition(voc, self.cfg.map.max_kf,
+                                                prefer_native=False)
         if self.enable_loop_closing:
             self.loop_closer = LoopCloser(self.cfg, self.place_rec)
             if self.map_merger is None:
@@ -291,7 +400,8 @@ class Tracker:
         Atlas merge rewrote keyframe slots)."""
         from .reloc import make_place_recognition
         voc = self.place_rec.voc
-        db = make_place_recognition(voc, self.cfg.map.max_kf)
+        db = make_place_recognition(voc, self.cfg.map.max_kf,
+                                    prefer_native=False)
         for k in np.flatnonzero(np.asarray(self.map.kf_valid)):
             db.add(int(k), self.map.kf_desc[int(k)], self.map.kf_feat_valid[int(k)])
         self.place_rec = db
@@ -351,6 +461,14 @@ class Tracker:
         self._last_frame_ts = ts
         if img.ndim == 2:
             img = img[None]
+
+        # pipelined fast path: steady-state stereo tracking only; any other
+        # state (init, loss, IMU transitions) drains and runs synchronously
+        if (self.pipeline > 1 and self.state == OK and not cfg.use_imu
+                and self.sensor == "stereo"):
+            return self._process_frame_pipelined(img, ts)
+        self._drain_pipeline()
+
         want_canvas = (self.sensor == "stereo" and cfg.stereo.sad_refine
                        and not cfg.stereo.fisheye)
         with self.timer.stage("extract"):
@@ -408,6 +526,190 @@ class Tracker:
                 R, t = self.pose
                 self.trajectory.append((ts, np.array(R), np.array(t)))
         return out
+
+    # -- pipelined fast path (SURVEY.md §2.4 P1) -----------------------------
+    @property
+    def _nkf(self) -> int:
+        """Host-side mirror of map.n_kf (avoids a device sync per frame)."""
+        if self._n_kf_host is None:
+            self._n_kf_host = int(self.map.n_kf)
+        return self._n_kf_host
+
+    def _process_frame_pipelined(self, img, ts: float) -> dict:
+        """Dispatch one fused frame step and consume results `pipeline`
+        frames behind — one small device->host fetch per burst instead of
+        several per frame. Control decisions (threshold, KF policy, loss)
+        lag by at most `pipeline` frames, which matches the reference's
+        producer/consumer frame pipeline semantics (System.cc:356-438)."""
+        cfg = self.cfg
+        with self._map_lock, self.timer.stage("pipeline_dispatch"):
+            if self._chain is None:
+                R, t = self.pose
+                Rv, tv = self.vel
+                self._chain = (jnp.asarray(R), jnp.asarray(t),
+                               jnp.asarray(Rv), jnp.asarray(tv))
+            if self._dev_static is None:
+                cam2 = cfg.camera2 or cfg.camera
+                R_lr, t_lr = cfg.stereo_extrinsics
+                self._dev_static = (jnp.asarray(cam2.params),
+                                    jnp.asarray(R_lr), jnp.asarray(t_lr))
+            if self._dev_threshold is None or \
+                    self._dev_threshold[0] != self.threshold.t:
+                self._dev_threshold = (self.threshold.t,
+                                       jnp.float32(self.threshold.t))
+            Rp, tp, Rv, tv = self._chain
+            cam2_params, R_lr, t_lr = self._dev_static
+            out = _frame_step_stereo(
+                self.map, Rp, tp, Rv, tv, jnp.asarray(img),
+                self._dev_threshold[1], self.cam_params,
+                cam2_params, R_lr, t_lr, bf=float(cfg.bf),
+                min_z=float(cfg.stereo.min_z),
+                close_depth=float(cfg.stereo.depth_factor * cfg.stereo.baseline),
+                r_coarse=float(cfg.tracker.match_radius_coarse),
+                r_fine=float(cfg.tracker.match_radius_fine),
+                cam_model=cfg.camera.model_id, img_w=cfg.camera.width,
+                img_h=cfg.camera.height, n_levels=cfg.orb.n_levels,
+                pose_rounds=cfg.tracker.pose_rounds,
+                pose_iters=cfg.tracker.pose_iters, max_kp=cfg.orb.max_kp,
+                fisheye=bool(cfg.stereo.fisheye),
+                sad_refine=bool(cfg.stereo.sad_refine))
+            (R, t, Rv2, tv2, pack, feats, u_r, depth, mp_feat,
+             mp_vis2, mp_fnd2) = out
+            self._chain = (R, t, Rv2, tv2)
+            self.map = self.map._replace(mp_visible=mp_vis2, mp_found=mp_fnd2)
+            self._pending.append(
+                (ts, self.frame_id, pack, feats, u_r, depth, mp_feat))
+            self.frame_id += 1
+            self.stats["n_frames"] += 1
+        if len(self._pending) >= self.pipeline:
+            # consume the whole burst: device->host transfers on this
+            # platform are in-order with compute, so ANY fetch waits for the
+            # full queue — amortize the round trip over all K frames
+            self._finalize_pending()
+        return {"state": self.state, "n_inliers": self.n_inliers_last,
+                "pipelined": True}
+
+    def _stack_packs(self, packs):
+        f = self._stack_cache.get(len(packs))
+        if f is None:
+            f = jax.jit(lambda *ps: jnp.stack(ps))
+            self._stack_cache[len(packs)] = f
+        return f(*packs)
+
+    def _finalize_pending(self, count=None):
+        """Fetch the scalar packs of the oldest `count` in-flight frames
+        (one round trip) and run the host control loop over them in order.
+        On a detected loss, ALL in-flight frames are dropped."""
+        if not self._pending:
+            return
+        if count is None:
+            count = len(self._pending)
+        self.timer.start("pipeline_finalize")
+        recs, self._pending = self._pending[:count], self._pending[count:]
+        self.timer.start("pipeline_fetch")
+        stacked = self._stack_packs([r[2] for r in recs])
+        self.timer.stop("pipeline_fetch")
+        self.timer.start("pipeline_asarray")
+        vals = np.asarray(stacked)
+        self.timer.stop("pipeline_asarray")
+        # ONE controller step per burst: the burst's frames all saw the same
+        # threshold, so applying per-frame updates here would step the
+        # feedback loop K times on stale data and oscillate it into collapse
+        self.threshold.update(int(np.median(vals[:, 0])))
+        prev_pose = None
+        with self._map_lock:
+            for rec, v in zip(recs, vals):
+                ok = self._consume_record(rec, v, prev_pose)
+                if not ok:
+                    self._pending = []
+                    break
+                prev_pose = (v[4:13].reshape(3, 3), v[13:16])
+        self.timer.stop("pipeline_finalize")
+
+    def _consume_record(self, rec, v, prev_pose) -> bool:
+        """Host policy for one lagged frame. Returns False on tracking loss
+        (remaining burst frames are dropped, like the reference's frame
+        drops on backpressure)."""
+        ts, fid, _, feats, u_r, depth, mp_feat = rec
+        cfg = self.cfg
+        n_valid, n_inl = int(v[0]), int(v[1])
+        n_close_t, n_close_u = int(v[2]), int(v[3])
+        R = v[4:13].reshape(3, 3).astype(np.float32)
+        t = v[13:16].astype(np.float32)
+        if n_inl < cfg.tracker.min_inliers:
+            self.stats["track_fail"] += 1
+            self.state = RECENTLY_LOST
+            self.lost_since = ts
+            self.vel = (jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32))
+            self._chain = None
+            Verbose.log(f"[tracker] lost in pipelined burst ({n_inl} inliers)")
+            return False
+        self.pose = (jnp.asarray(R), jnp.asarray(t))
+        if prev_pose is not None:
+            Rp, tp = prev_pose
+            Rv = R @ Rp.T
+            self.vel = (jnp.asarray(Rv.astype(np.float32)),
+                        jnp.asarray((t - Rv @ tp).astype(np.float32)))
+        self.trajectory.append((ts, R, t))
+        self.n_inliers_last = n_inl
+        if self._need_new_keyframe_scalars(n_inl, n_close_t, n_close_u, fid):
+            with self.timer.stage("keyframe"):
+                self._create_keyframe_from_record(rec, R, t, n_inl)
+        return True
+
+    def _need_new_keyframe_scalars(self, n_inliers, n_close_tracked,
+                                   n_close_untracked, frame_id) -> bool:
+        """NeedNewKeyFrame (Tracking.cc:3125) from pre-reduced scalars."""
+        cfg = self.cfg
+        if self._nkf >= self.map.max_kf - 1:
+            return False
+        frames_since = frame_id - self.last_kf_frame
+        c1a = frames_since >= cfg.tracker.max_frames_between_kf
+        c1b = frames_since >= max(cfg.tracker.min_frames_between_kf, 1)
+        c1c = self.sensor == "stereo" and \
+            (n_close_tracked < cfg.tracker.close_tracked_th
+             and n_close_untracked > cfg.tracker.close_untracked_th)
+        ratio = cfg.tracker.kf_ref_ratio if self.sensor == "stereo" else 0.9
+        c2 = (n_inliers < ratio * max(self.ref_kf_matches, 1)
+              and n_inliers > 15)
+        return bool(((c1a or c1b or c1c) and c2) or (c1c and c1b))
+
+    def _create_keyframe_from_record(self, rec, R, t, n_inl):
+        ts, fid, _, feats, u_r, depth, mp_feat = rec
+        cfg = self.cfg
+        kid = self._nkf
+        self.map, _ = _insert_kf_and_spawn(
+            self.map, jnp.asarray(R), jnp.asarray(t), jnp.float32(ts),
+            feats.xy[0], feats.level[0], feats.desc[0], feats.valid[0],
+            u_r, depth, mp_feat, self.cam_params,
+            float(cfg.stereo.depth_factor * cfg.stereo.baseline),
+            cam_model=cfg.camera.model_id, n_levels=cfg.orb.n_levels)
+        self._n_kf_host = kid + 1
+        self.last_kf_frame = fid
+        self.last_kf_id = kid
+        self.ref_kf_matches = max(n_inl, 1)
+        self.stats["n_kf"] += 1
+        if self.place_rec is not None:
+            self.place_rec.add(kid, self.map.kf_desc[kid],
+                               self.map.kf_feat_valid[kid])
+        if self._map_queue is not None:
+            if self.loop_closer is not None:
+                self.loop_closer.abort_gba = True
+            self._map_queue.put(kid)
+        else:
+            self._mapping_pipeline(kid)
+
+    def _drain_pipeline(self):
+        """Flush in-flight pipelined frames before any synchronous logic."""
+        if self._pending:
+            self._finalize_pending()
+        self._chain = None
+
+    def finish(self):
+        """Flush the pipeline and wait for background mapping (call at end
+        of a sequence before reading trajectories)."""
+        self._drain_pipeline()
+        self.wait_mapping_idle()
 
     # -- initialization -----------------------------------------------------
     def _initialize(self, feats: Features, u_r, depth, ts, n_feat) -> dict:
@@ -481,6 +783,7 @@ class Tracker:
         return {"state": OK, "n_inliers": n_mp, "init": True}
 
     def _post_init(self, kf_id, n_mp, ts, feats):
+        self._n_kf_host = int(self.map.n_kf)
         if self.pose is None:
             self.pose = (jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32))
         self.vel = (jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32))
@@ -622,6 +925,8 @@ class Tracker:
         self.pose = None
         self._init_frame = None
         self.lost_since = None
+        self._n_kf_host = None
+        self._chain = None
         self.last_kf_id = -1
         self.last_kf_frame = -999
         self.ref_kf_matches = 0
@@ -644,7 +949,7 @@ class Tracker:
         if self.place_rec is not None:
             from .reloc import make_place_recognition
             self.place_rec = make_place_recognition(
-                self.place_rec.voc, self.cfg.map.max_kf)
+                self.place_rec.voc, self.cfg.map.max_kf, prefer_native=False)
             if self.loop_closer is not None:
                 from ..mapping.loop_closing import LoopCloser
                 n_loops = self.loop_closer.n_loops
@@ -661,7 +966,7 @@ class Tracker:
         if self.place_rec is not None:
             from .reloc import make_place_recognition
             self.place_rec = make_place_recognition(
-                self.place_rec.voc, self.cfg.map.max_kf)
+                self.place_rec.voc, self.cfg.map.max_kf, prefer_native=False)
             if self.loop_closer is not None:
                 from ..mapping.loop_closing import LoopCloser
                 n_loops = self.loop_closer.n_loops
@@ -673,7 +978,7 @@ class Tracker:
     def _need_new_keyframe(self, n_inliers, feats: Features, mp_feat, depth,
                            ts: float) -> bool:
         cfg = self.cfg
-        if int(self.map.n_kf) >= self.map.max_kf - 1:
+        if self._nkf >= self.map.max_kf - 1:
             return False
         # c3: inertial maps need dense keyframes — every 0.25 s before IMU
         # init, 0.5 s after (Tracking.cc:3125 pre-init clause + c3)
@@ -682,7 +987,6 @@ class Tracker:
             if (not self.imu_ready and gap >= 0.25) or \
                     (self.imu_ready and gap >= 0.5):
                 return True
-        frames_since = self.frame_id - self.last_kf_frame
         close_th = cfg.stereo.depth_factor * cfg.stereo.baseline
         f_of_mp = np.asarray(mp_feat)
         tracked_slots = np.unique(f_of_mp[f_of_mp >= 0])
@@ -693,18 +997,8 @@ class Tracker:
         tracked_mask[tracked_slots] = True
         n_close_tracked = int((close & tracked_mask).sum())
         n_close_untracked = int((close & ~tracked_mask).sum())
-
-        # decision ((c1a|c1b|c1c)&c2) per Tracking.cc:3269 (c1b's "mapper
-        # idle" becomes a min-frame spacing since our mapper is synchronous)
-        c1a = frames_since >= cfg.tracker.max_frames_between_kf
-        c1b = frames_since >= max(cfg.tracker.min_frames_between_kf, 1)
-        c1c = self.sensor == "stereo" and \
-            (n_close_tracked < cfg.tracker.close_tracked_th
-             and n_close_untracked > cfg.tracker.close_untracked_th)
-        ratio = cfg.tracker.kf_ref_ratio if self.sensor == "stereo" else 0.9
-        c2 = (n_inliers < ratio * max(self.ref_kf_matches, 1)
-              and n_inliers > 15)
-        return bool(((c1a or c1b or c1c) and c2) or (c1c and c1b))
+        return self._need_new_keyframe_scalars(
+            n_inliers, n_close_tracked, n_close_untracked, self.frame_id)
 
     # -- keyframe creation + local mapping ----------------------------------
     def _create_keyframe(self, feats: Features, u_r, depth, mp_feat, ts,
@@ -724,6 +1018,8 @@ class Tracker:
         self.ref_kf_matches = max(n_inliers, 1)
         self.stats["n_kf"] += 1
         kid = int(kf_id)
+        if kid >= 0:
+            self._n_kf_host = kid + 1
 
         # synchronous tail: the tracker needs these immediately
         if self.place_rec is not None:
@@ -797,7 +1093,7 @@ class Tracker:
                 with self.timer.stage("loop_closing"):
                     n_before = self.loop_closer.n_loops
                     self.map = self.loop_closer.on_keyframe(
-                        self.map, kid, self.cam_params)
+                        self.map, kid, self.cam_params, n_kf=self._nkf)
                     if self.loop_closer.n_loops > n_before:
                         self.stats["n_loops"] += 1
                         if not self._in_mapper_thread:
@@ -811,6 +1107,7 @@ class Tracker:
                     if self.map_merger.on_keyframe(self.atlas, kid,
                                                    self.cam_params):
                         self.stats["n_map_merges"] += 1
+                        self._n_kf_host = None
                         self._rebuild_place_rec()
                         if not self._in_mapper_thread:
                             self.pose = (self.map.kf_R[kid],
@@ -850,7 +1147,6 @@ class Tracker:
                        n_iters: Optional[int] = None):
         from ..mapping.vi_ba import apply_vi_window, local_inertial_ba
         cfg = self.cfg
-        n_kf = int(self.map.n_kf)
         C = window_cap if window_cap is not None else cfg.ba.window_size + 1
         # longest consecutive chain of KFs ending at kf_id whose gaps all
         # have registered preintegrations (merges/new maps break the chain)
@@ -908,7 +1204,7 @@ class Tracker:
         (LocalMapping.cc:206-248)."""
         cfg = self.cfg
         C = min(self.FULL_VI_WINDOW, int(self.map.max_kf))
-        n_kf = int(self.map.n_kf)
+        n_kf = self._nkf
         ids = np.full(C, -1, np.int32)
         fixed = np.zeros(C, bool)
         lo = max(0, n_kf - C)
@@ -932,7 +1228,7 @@ class Tracker:
         re-solve the inertial init problem over the recent KF chain and apply
         the scale + gravity-direction correction to the whole map."""
         m = self.map
-        n_kf = int(m.n_kf)
+        n_kf = self._nkf
         k_ids = list(range(max(0, n_kf - len(self._kf_preints) - 1), n_kf))
         if len(k_ids) < 3 or len(self._kf_preints) < len(k_ids) - 1:
             return
@@ -955,7 +1251,7 @@ class Tracker:
 
     def _run_local_ba(self, kf_id: int):
         cfg = self.cfg
-        n_kf = int(self.map.n_kf)
+        n_kf = self._nkf
         C = cfg.ba.window_size + cfg.ba.n_fixed
         ids = np.full(C, -1, np.int32)
         fixed = np.zeros(C, bool)
@@ -996,7 +1292,7 @@ class Tracker:
         """Gravity/bias/scale estimation over the KF window + map alignment
         (InitializeIMU, LocalMapping.cc:1196)."""
         m = self.map
-        n_kf = int(m.n_kf)
+        n_kf = self._nkf
         k_ids = list(range(max(0, n_kf - len(self._kf_preints) - 1), n_kf))
         if len(k_ids) < 2 or len(self._kf_preints) < len(k_ids) - 1:
             return
