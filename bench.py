@@ -82,7 +82,7 @@ def bench_full_slam():
     cfg.tracker.pose_iters = 2
 
     tracker = Tracker(cfg, sensor="stereo", enable_loop_closing=True,
-                      enable_timing=True, pipeline=16)
+                      enable_timing=True, pipeline=16, chunk=4)
 
     # --- populate: dense keyframing until the map is big ---
     t0 = time.time()

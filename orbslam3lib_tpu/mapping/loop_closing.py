@@ -309,6 +309,38 @@ class LoopCloser:
         self.gba_iters = gba_iters
         self.abort_gba = False
 
+    PROBE_N = 3
+
+    def probe_gates_ok(self, kf_id: int, n_kf: int) -> bool:
+        return not (n_kf < 8 or kf_id - self.last_loop_kf < 10)
+
+    def dispatch_probe(self, m: ms.MapState, kf_id: int, n_kf: int):
+        """Dispatch the fused candidate probe WITHOUT fetching (pipelined
+        mode: the result is consumed one burst later, like the reference's
+        LoopClosing thread draining its keyframe queue asynchronously,
+        LoopClosing.cc:90). Returns a device handle of 16 floats (padded to
+        the tracker's scalar-pack width) or None if gated/unsupported."""
+        from ..tracking.reloc import PlaceRecognition
+        if not self.probe_gates_ok(kf_id, n_kf):
+            return None
+        if not isinstance(self.pr, PlaceRecognition):
+            return None
+        voc = self.pr.voc
+        out = loop_probe(m, self.pr.bow_db, self.pr.active, voc.centroids,
+                         voc.idf, jnp.int32(kf_id), k=voc.k, depth=voc.depth,
+                         n_best=self.PROBE_N)
+        return jnp.concatenate([out, jnp.zeros(16 - 3 * self.PROBE_N)])
+
+    def on_probe_result(self, m: ms.MapState, kf_id: int, vals,
+                        cam_params) -> ms.MapState:
+        """Consume a fetched probe pack: temporal-consistency state machine,
+        geometric verification and correction on a confirmed loop."""
+        n = self.PROBE_N
+        ids = vals[:n].astype(np.int32)
+        scores = vals[n:2 * n]
+        covis_w = vals[2 * n:3 * n]
+        return self._after_probe(m, kf_id, ids, scores, covis_w, cam_params)
+
     def _probe(self, m: ms.MapState, kf_id: int):
         """Candidate retrieval: fused single-fetch path for the dense JAX
         database; legacy multi-call path for the native inverted file."""
@@ -340,7 +372,7 @@ class LoopCloser:
         if n_kf is None:
             n_kf = int(m.n_kf)
         # reference gates: skip until enough KFs and not right after a loop
-        if n_kf < 8 or kf_id - self.last_loop_kf < 10:
+        if not self.probe_gates_ok(kf_id, n_kf):
             return m
 
         # covisibility-excluded BoW query (LoopClosing.cc:341+) — one fused
@@ -349,6 +381,10 @@ class LoopCloser:
         if probe is None:
             return m
         ids, scores, covis_w = probe
+        return self._after_probe(m, kf_id, ids, scores, covis_w, cam_params)
+
+    def _after_probe(self, m: ms.MapState, kf_id: int, ids, scores, covis_w,
+                     cam_params) -> ms.MapState:
         cand = int(ids[0])
         if cand < 0 or float(scores[0]) <= 0.015:
             self.consistency_count = 0

@@ -120,16 +120,14 @@ def _compare_matrices_dev():
 
 def _gather_patches(canvas: jnp.ndarray, level: jnp.ndarray, y: jnp.ndarray,
                     x: jnp.ndarray, radius: int) -> jnp.ndarray:
-    """canvas (L, H, W) f32; level/y/x (N,) int32 (level-local integer coords).
-    Returns (N, 2r+1, 2r+1) patches. Starts are clamped by dynamic_slice, so
-    callers must enforce a detection margin >= radius+1 for correctness."""
+    """canvas (L, H, W) f32; level/y/x (N,) int32 (level-local integer
+    coords). Returns (N, 2r+1, 2r+1) patches via the row-gather + one-hot
+    column matmul of ops/patches.py (slice-style formulations serialize on
+    this backend). Callers must enforce a detection margin >= radius+1."""
+    from .patches import gather_patches
     size = 2 * radius + 1
-
-    def one(lvl, yy, xx):
-        return jax.lax.dynamic_slice(
-            canvas, (lvl, yy - radius, xx - radius), (1, size, size))[0]
-
-    return jax.vmap(one)(level, y, x)
+    return gather_patches(canvas, level, y, x, size, size,
+                          y_off=-radius, x_off=-radius)
 
 
 def ic_angles(canvas: jnp.ndarray, level: jnp.ndarray, y: jnp.ndarray,

@@ -260,18 +260,19 @@ def refine_stereo_sad(canvas_l, canvas_r, xy_l, level_l, valid_l, u_r, depth,
     yi = jnp.clip(yi, pad, Hh - pad - 1)
     ri = jnp.clip(ri, pad, Wh - pad - 1)
 
-    dy = jnp.arange(-W_R, W_R + 1)
-    dxs = jnp.arange(-W_R, W_R + 1)
+    # patch extraction via row-gather + one-hot column matmul (slice-style
+    # and element-gather formulations serialize on this backend — see
+    # ops/patches.py)
+    def slice_patch(canvas, ly, lx, h, w):
+        from ..ops.patches import gather_patches
+        return gather_patches(canvas, lvl, ly, lx, h, w)
+
     # left patch (N, 11, 11), center-normalized
-    pl = canvas_l[lvl[:, None, None],
-                  (yi[:, None, None] + dy[None, :, None]),
-                  (xi[:, None, None] + dxs[None, None, :])]
+    pl = slice_patch(canvas_l, yi - W_R, xi - W_R, 2 * W_R + 1, 2 * W_R + 1)
     pl = pl - pl[:, W_R, W_R][:, None, None]
     # right strip (N, 11, 11 + 2*SRCH)
-    dxw = jnp.arange(-(W_R + SRCH), W_R + SRCH + 1)
-    strip = canvas_r[lvl[:, None, None],
-                     (yi[:, None, None] + dy[None, :, None]),
-                     (ri[:, None, None] + dxw[None, None, :])]
+    strip = slice_patch(canvas_r, yi - W_R, ri - (W_R + SRCH),
+                        2 * W_R + 1, 2 * (W_R + SRCH) + 1)
 
     def sad_at(inc):
         w = jax.lax.dynamic_slice_in_dim(strip, inc + SRCH, 2 * W_R + 1, axis=2)

@@ -63,27 +63,50 @@ def _two_stage_core(m: ms.MapState, R0, t0, feat_xy, feat_level, feat_desc,
                     feat_valid, u_right, depth, cam_params, bf: float,
                     r_coarse: float, r_fine: float,
                     cam_model: int, img_w: int, img_h: int,
-                    n_levels: int, pose_rounds: int, pose_iters: int):
+                    n_levels: int, pose_rounds: int, pose_iters: int,
+                    prev_mp=None):
     """Two-stage projection search + pose optimization against the map.
 
-    Returns (R, t, mp_feat (P,), inlier_per_mp (P,), n_inliers, visible,
-    obs (feature-side PoseObs), feat_tracked (F,))."""
+    Stage 1 is TrackWithMotionModel (ORBmatcher::SearchByProjection frame ->
+    last frame, ORBmatcher.cc:1683): when `prev_mp` (F,) carries the
+    landmark ids tracked in the previous frame, only THOSE are searched at
+    the coarse radius — a (F, F) problem instead of (P, F). Stage 2 is the
+    TrackLocalMap refinement against the map at the fine radius.
+
+    Returns (R, t, mp_feat (P,), inlier_per_mp (P,), n_inliers, visible (P,),
+    obs (feature-side PoseObs), feat_tracked (F,), feat_mp_out (F,))."""
 
     F = feat_xy.shape[0]
     P = m.max_mp
 
-    def one_stage(R, t, radius, rounds, iters):
+    def one_stage(R, t, radius, rounds, iters, sub_ids=None):
+        if sub_ids is None:
+            pos, desc, val = m.mp_pos, m.mp_desc, m.mp_valid
+            normal, mind, maxd = m.mp_normal, m.mp_min_dist, m.mp_max_dist
+            ids = None
+            n_rows = P
+        else:
+            idc = jnp.clip(sub_ids, 0, P - 1)
+            val = (sub_ids >= 0) & m.mp_valid[idc]
+            pos, desc = m.mp_pos[idc], m.mp_desc[idc]
+            normal = m.mp_normal[idc]
+            mind, maxd = m.mp_min_dist[idc], m.mp_max_dist[idc]
+            ids = idc
+            n_rows = sub_ids.shape[0]
         pm = matching.search_by_projection(
-            m.mp_pos, m.mp_desc, m.mp_valid, m.mp_normal, m.mp_min_dist,
-            m.mp_max_dist, R, t, cam_params, feat_xy, feat_level, feat_desc,
+            pos, desc, val, normal, mind, maxd,
+            R, t, cam_params, feat_xy, feat_level, feat_desc,
             feat_valid, radius, cam_model=cam_model, img_w=img_w, img_h=img_h,
             n_levels=n_levels)
-        # invert the (P,)-side match to the feature side so the LM solve runs
+        # invert the row-side match to the feature side so the LM solve runs
         # over F (~512) observations, not the landmark capacity (~16384)
         matched_mp = pm.mp_feat >= 0
         tgt = jnp.where(matched_mp, pm.mp_feat, F)
-        feat_mp = jnp.full(F, -1, jnp.int32).at[tgt].set(
-            jnp.arange(P, dtype=jnp.int32), mode="drop")
+        feat_row = jnp.full(F, -1, jnp.int32).at[tgt].set(
+            jnp.arange(n_rows, dtype=jnp.int32), mode="drop")
+        row_c = jnp.clip(feat_row, 0, n_rows - 1)
+        feat_mp = jnp.where(feat_row >= 0,
+                            ids[row_c] if ids is not None else row_c, -1)
         has = feat_mp >= 0
         pw = m.mp_pos[jnp.clip(feat_mp, 0, P - 1)]
         obs = PoseObs(
@@ -99,7 +122,8 @@ def _two_stage_core(m: ms.MapState, R0, t0, feat_xy, feat_level, feat_desc,
             n_rounds=rounds, iters_per_round=iters)
         return R2, t2, pm, feat_mp, inl_f, n_inl, obs
 
-    R1, t1, _, _, _, _, _ = one_stage(R0, t0, r_coarse, pose_rounds, pose_iters)
+    R1, t1, _, _, _, _, _ = one_stage(R0, t0, r_coarse, pose_rounds,
+                                      pose_iters, sub_ids=prev_mp)
     R2, t2, pm, feat_mp, inl_f, n_inl, obs = one_stage(
         R1, t1, r_fine, pose_rounds, pose_iters)
     # landmark-side views of the feature-side result
@@ -107,9 +131,10 @@ def _two_stage_core(m: ms.MapState, R0, t0, feat_xy, feat_level, feat_desc,
     inl_mp = (pm.mp_feat >= 0) & inl_f[f_of_mp]
     mp_feat = jnp.where(inl_mp, pm.mp_feat, -1)
     feat_tracked = (feat_mp >= 0) & inl_f
+    feat_mp_out = jnp.where(feat_tracked, feat_mp, -1)
     return (R2, t2, mp_feat, inl_mp,
             jnp.sum((mp_feat >= 0).astype(jnp.int32)), pm.visible, obs,
-            feat_tracked)
+            feat_tracked, feat_mp_out)
 
 
 @partial(jax.jit, static_argnames=("bf", "r_coarse", "r_fine", "cam_model",
@@ -132,28 +157,16 @@ def _track_two_stage(m: ms.MapState, R0, t0, feat_xy, feat_level, feat_desc,
 PACK_LEN = 16
 
 
-@partial(jax.jit, static_argnames=(
-    "bf", "min_z", "close_depth", "r_coarse", "r_fine", "cam_model",
-    "img_w", "img_h", "n_levels", "pose_rounds", "pose_iters", "max_kp",
-    "fisheye", "sad_refine"))
-def _frame_step_stereo(m: ms.MapState, R_prev, t_prev, R_vel, t_vel,
-                       img_pair, threshold, cam_params, cam2_params,
-                       R_lr, t_lr, bf: float, min_z: float,
-                       close_depth: float, r_coarse: float, r_fine: float,
-                       cam_model: int, img_w: int, img_h: int,
-                       n_levels: int, pose_rounds: int, pose_iters: int,
-                       max_kp: int, fisheye: bool, sad_refine: bool):
-    """The whole per-frame stereo tracking hot path as ONE jitted graph:
-    extraction -> stereo match (+SAD refine) -> constant-velocity predict ->
-    two-stage projection track + pose LM -> velocity/stat updates -> a 16-
-    float scalar pack for the host.
-
-    This is the TPU analog of the reference's single FastRPC round trip per
-    frame (orbslam3_extractFeatures does extraction AND matching in one
-    crossing, orbslam_dsp.cpp:1017-1087): the host dispatches one executable
-    and reads back one tiny pack, so the control loop can run at a fetch
-    cadence decoupled from device latency (System's P1 pipeline).
-    """
+def _frame_body(m: ms.MapState, carry, img_pair, threshold, cam_params,
+                cam2_params, R_lr, t_lr, bf, min_z, close_depth, r_coarse,
+                r_fine, cam_model, img_w, img_h, n_levels, pose_rounds,
+                pose_iters, max_kp, fisheye, sad_refine):
+    """One frame of the stereo tracking hot path: extraction -> stereo match
+    (+SAD refine) -> constant-velocity predict -> two-stage track + pose LM
+    -> velocity/stat updates. carry = (R, t, R_vel, t_vel, prev_mp,
+    mp_visible, mp_found); per-frame outputs (pack, feats, u_r, depth,
+    mp_feat) are what the host needs for KF creation and control."""
+    R_prev, t_prev, R_vel, t_vel, prev_mp, mp_visible, mp_found = carry
     want_canvas = sad_refine and not fisheye
     ex = extract_orb_stereo(img_pair, threshold, max_kp=max_kp,
                             n_levels=n_levels, return_canvas=want_canvas)
@@ -175,23 +188,64 @@ def _frame_step_stereo(m: ms.MapState, R_prev, t_prev, R_vel, t_vel,
                 n_levels=n_levels)
     R0, t0 = lie.se3_compose(R_vel, t_vel, R_prev, t_prev)
     (R, t, mp_feat, inl_mp, n_inl, visible, obs,
-     feat_tracked) = _two_stage_core(
+     feat_tracked, feat_mp_out) = _two_stage_core(
         m, R0, t0, feats.xy[0], feats.level[0], feats.desc[0],
         feats.valid[0], u_r, depth, cam_params, bf, r_coarse, r_fine,
-        cam_model, img_w, img_h, n_levels, pose_rounds, pose_iters)
+        cam_model, img_w, img_h, n_levels, pose_rounds, pose_iters,
+        prev_mp=prev_mp)
     Ri, ti = lie.se3_inverse(R_prev, t_prev)
     R_vel2, t_vel2 = lie.se3_compose(R, t, Ri, ti)
     close = feats.valid[0] & (depth > 0.05) & (depth < close_depth)
     n_close_t = jnp.sum((close & feat_tracked).astype(jnp.float32))
     n_close_u = jnp.sum((close & ~feat_tracked).astype(jnp.float32))
-    mp_visible2 = m.mp_visible + visible.astype(jnp.float32)
-    mp_found2 = m.mp_found + (mp_feat >= 0).astype(jnp.float32)
+    mp_visible2 = mp_visible + visible.astype(jnp.float32)
+    mp_found2 = mp_found + (mp_feat >= 0).astype(jnp.float32)
     pack = jnp.concatenate([
         feats.n_valid[:1].astype(jnp.float32),
         jnp.stack([n_inl.astype(jnp.float32), n_close_t, n_close_u]),
         R.reshape(-1), t])
-    return (R, t, R_vel2, t_vel2, pack, feats, u_r, depth, mp_feat,
-            mp_visible2, mp_found2)
+    carry2 = (R, t, R_vel2, t_vel2, feat_mp_out, mp_visible2, mp_found2)
+    # per-frame outputs: only what keyframe creation needs (left-eye feature
+    # set + stereo depth + landmark association) — lean outputs matter on a
+    # tunneled device where result buffers ride the same in-order stream
+    ys = (pack, feats.xy[0], feats.level[0], feats.desc[0], feats.valid[0],
+          u_r, depth, mp_feat)
+    return carry2, ys
+
+
+@partial(jax.jit, static_argnames=(
+    "bf", "min_z", "close_depth", "r_coarse", "r_fine", "cam_model",
+    "img_w", "img_h", "n_levels", "pose_rounds", "pose_iters", "max_kp",
+    "fisheye", "sad_refine"))
+def _frame_step_chunk(m: ms.MapState, R_prev, t_prev, R_vel, t_vel, prev_mp,
+                      imgs, threshold, cam_params, cam2_params,
+                      R_lr, t_lr, bf: float, min_z: float,
+                      close_depth: float, r_coarse: float, r_fine: float,
+                      cam_model: int, img_w: int, img_h: int,
+                      n_levels: int, pose_rounds: int, pose_iters: int,
+                      max_kp: int, fisheye: bool, sad_refine: bool):
+    """A CHUNK of frames (C, 2, H, W) as one executable via lax.scan.
+
+    The reference pays one FastRPC crossing per frame
+    (orbslam3_extractFeatures, orbslam_dsp.cpp:1017); the TPU tunnel's
+    per-launch latency is of the same order as a whole frame's compute, so
+    batching C frames per launch amortizes it C-fold. The pose/velocity/
+    last-frame-landmark chain threads through the scan carry; the map is
+    read-only for the chunk (keyframe insertion happens between chunks, a
+    <=C-frame lag matching the mapper-thread semantics).
+    """
+    carry0 = (R_prev, t_prev, R_vel, t_vel, prev_mp,
+              m.mp_visible, m.mp_found)
+
+    def body(carry, img_pair):
+        return _frame_body(m, carry, img_pair, threshold, cam_params,
+                           cam2_params, R_lr, t_lr, bf, min_z, close_depth,
+                           r_coarse, r_fine, cam_model, img_w, img_h,
+                           n_levels, pose_rounds, pose_iters, max_kp,
+                           fisheye, sad_refine)
+
+    carry, ys = jax.lax.scan(body, carry0, imgs)
+    return carry, ys
 
 
 @jax.jit
@@ -293,7 +347,7 @@ class Tracker:
     def __init__(self, cfg: SlamConfig, sensor: str = "stereo",
                  vocabulary=None, enable_loop_closing: bool = True,
                  enable_timing: bool = False, async_mapping: bool = False,
-                 pipeline: int = 0):
+                 pipeline: int = 0, chunk: int = 1):
         assert sensor in ("stereo", "mono")
         self.cfg = cfg
         self.sensor = sensor
@@ -301,12 +355,15 @@ class Tracker:
         # ahead of the host control loop, fetching the 16-float scalar packs
         # in one device round trip per burst. 0/1 = fully synchronous.
         self.pipeline = int(pipeline)
-        self._pending: List = []      # in-flight frame records
-        self._chain = None            # device-side (R, t, R_vel, t_vel)
+        self.chunk = max(1, int(chunk))
+        self._img_buf: List = []      # frames awaiting a chunk dispatch
+        self._pending: List = []      # in-flight chunk records
+        self._chain = None            # device-side (R, t, R_vel, t_vel, ids)
         self._stack_cache: dict = {}  # burst-size -> stacking jit
         self._n_kf_host = None        # host mirror of map.n_kf
         self._dev_static = None       # cached device copies of rig constants
         self._dev_threshold = None    # (host value, device scalar)
+        self._probe_pending: List = []  # (kf_id, loop-probe device handle)
         mc = cfg.map
         self.atlas = Atlas(mc.max_kf, mc.max_mp, cfg.orb.max_kp)
         self.threshold = ThresholdController(
@@ -536,18 +593,44 @@ class Tracker:
         return self._n_kf_host
 
     def _process_frame_pipelined(self, img, ts: float) -> dict:
-        """Dispatch one fused frame step and consume results `pipeline`
-        frames behind — one small device->host fetch per burst instead of
-        several per frame. Control decisions (threshold, KF policy, loss)
-        lag by at most `pipeline` frames, which matches the reference's
-        producer/consumer frame pipeline semantics (System.cc:356-438)."""
+        """Buffer frames into chunks of `self.chunk`, dispatch each chunk as
+        ONE fused lax.scan executable, and consume scalar packs `pipeline`
+        frames behind — one small device->host fetch per burst. Control
+        decisions (threshold, KF policy, loss) lag by at most
+        pipeline+chunk frames, matching the reference's producer/consumer
+        frame pipeline + mapper thread semantics (System.cc:356-438)."""
+        self._img_buf.append((np.asarray(img), ts, self.frame_id))
+        self.frame_id += 1
+        self.stats["n_frames"] += 1
+        if len(self._img_buf) >= self.chunk:
+            self._dispatch_chunk()
+        if sum(r[2] for r in self._pending) >= self.pipeline:
+            # consume the whole burst: device->host transfers on this
+            # platform are in-order with compute, so ANY fetch waits for the
+            # full queue — amortize the round trip over all K frames
+            self._finalize_pending()
+        return {"state": self.state, "n_inliers": self.n_inliers_last,
+                "pipelined": True}
+
+    def _dispatch_chunk(self, pad_to_full: bool = False):
+        """Dispatch the buffered frames as one chunk executable. With
+        `pad_to_full` (drain), the chunk is padded by repeating the last
+        frame; padded outputs are ignored at finalize."""
         cfg = self.cfg
+        buf, self._img_buf = self._img_buf, []
+        if not buf:
+            return
+        n_real = len(buf)
+        imgs = [b[0] for b in buf]
+        while len(imgs) < self.chunk:
+            imgs.append(imgs[-1])
         with self._map_lock, self.timer.stage("pipeline_dispatch"):
             if self._chain is None:
                 R, t = self.pose
                 Rv, tv = self.vel
                 self._chain = (jnp.asarray(R), jnp.asarray(t),
-                               jnp.asarray(Rv), jnp.asarray(tv))
+                               jnp.asarray(Rv), jnp.asarray(tv),
+                               jnp.full(cfg.orb.max_kp, -1, jnp.int32))
             if self._dev_static is None:
                 cam2 = cfg.camera2 or cfg.camera
                 R_lr, t_lr = cfg.stereo_extrinsics
@@ -557,10 +640,11 @@ class Tracker:
                     self._dev_threshold[0] != self.threshold.t:
                 self._dev_threshold = (self.threshold.t,
                                        jnp.float32(self.threshold.t))
-            Rp, tp, Rv, tv = self._chain
+            Rp, tp, Rv, tv, prev_mp = self._chain
             cam2_params, R_lr, t_lr = self._dev_static
-            out = _frame_step_stereo(
-                self.map, Rp, tp, Rv, tv, jnp.asarray(img),
+            carry, ys = _frame_step_chunk(
+                self.map, Rp, tp, Rv, tv, prev_mp,
+                jnp.asarray(np.stack(imgs)),
                 self._dev_threshold[1], self.cam_params,
                 cam2_params, R_lr, t_lr, bf=float(cfg.bf),
                 min_z=float(cfg.stereo.min_z),
@@ -573,64 +657,81 @@ class Tracker:
                 pose_iters=cfg.tracker.pose_iters, max_kp=cfg.orb.max_kp,
                 fisheye=bool(cfg.stereo.fisheye),
                 sad_refine=bool(cfg.stereo.sad_refine))
-            (R, t, Rv2, tv2, pack, feats, u_r, depth, mp_feat,
-             mp_vis2, mp_fnd2) = out
-            self._chain = (R, t, Rv2, tv2)
+            (R, t, Rv2, tv2, feat_mp_out, mp_vis2, mp_fnd2) = carry
+            self._chain = (R, t, Rv2, tv2, feat_mp_out)
             self.map = self.map._replace(mp_visible=mp_vis2, mp_found=mp_fnd2)
+            # record: (ts/fid lists, n_real, pack (C,16), feats, u_r, depth,
+            # mp_feat — each with leading chunk dim)
             self._pending.append(
-                (ts, self.frame_id, pack, feats, u_r, depth, mp_feat))
-            self.frame_id += 1
-            self.stats["n_frames"] += 1
-        if len(self._pending) >= self.pipeline:
-            # consume the whole burst: device->host transfers on this
-            # platform are in-order with compute, so ANY fetch waits for the
-            # full queue — amortize the round trip over all K frames
-            self._finalize_pending()
-        return {"state": self.state, "n_inliers": self.n_inliers_last,
-                "pipelined": True}
+                ([b[1] for b in buf], [b[2] for b in buf], n_real) + ys)
 
     def _stack_packs(self, packs):
-        f = self._stack_cache.get(len(packs))
+        """Concatenate a mixed list of (C,16)/(16,) packs into one (N,16)
+        array via a cached jit (ONE fetchable buffer per burst)."""
+        key = tuple(p.ndim for p in packs)
+        f = self._stack_cache.get(key)
         if f is None:
-            f = jax.jit(lambda *ps: jnp.stack(ps))
-            self._stack_cache[len(packs)] = f
+            f = jax.jit(lambda *ps: jnp.concatenate(
+                [p.reshape(-1, PACK_LEN) for p in ps]))
+            self._stack_cache[key] = f
         return f(*packs)
 
-    def _finalize_pending(self, count=None):
-        """Fetch the scalar packs of the oldest `count` in-flight frames
-        (one round trip) and run the host control loop over them in order.
-        On a detected loss, ALL in-flight frames are dropped."""
-        if not self._pending:
+    def _finalize_pending(self):
+        """Fetch the scalar packs of all in-flight chunks (one round trip)
+        and run the host control loop over them frame by frame. On a
+        detected loss, ALL in-flight frames are dropped."""
+        if not self._pending and not self._probe_pending:
             return
-        if count is None:
-            count = len(self._pending)
         self.timer.start("pipeline_finalize")
-        recs, self._pending = self._pending[:count], self._pending[count:]
-        self.timer.start("pipeline_fetch")
-        stacked = self._stack_packs([r[2] for r in recs])
-        self.timer.stop("pipeline_fetch")
+        recs, self._pending = self._pending, []
+        probes, self._probe_pending = self._probe_pending, []
         self.timer.start("pipeline_asarray")
-        vals = np.asarray(stacked)
+        vals = np.asarray(self._stack_packs(
+            [r[3] for r in recs] + [h for _, h in probes]))
         self.timer.stop("pipeline_asarray")
+        n_pack = sum(r[3].shape[0] for r in recs)
+        pack_vals, probe_vals = vals[:n_pack], vals[n_pack:]
+        real = np.concatenate([
+            (np.arange(r[3].shape[0]) < r[2]) for r in recs]) \
+            if recs else np.zeros(0, bool)
         # ONE controller step per burst: the burst's frames all saw the same
         # threshold, so applying per-frame updates here would step the
         # feedback loop K times on stale data and oscillate it into collapse
-        self.threshold.update(int(np.median(vals[:, 0])))
+        if real.any():
+            self.threshold.update(int(np.median(pack_vals[real, 0])))
         prev_pose = None
         with self._map_lock:
-            for rec, v in zip(recs, vals):
-                ok = self._consume_record(rec, v, prev_pose)
-                if not ok:
-                    self._pending = []
+            # lagged loop-closing probes first (they predate the burst)
+            for (kid, _), pv in zip(probes, probe_vals):
+                n_before = self.loop_closer.n_loops
+                self.map = self.loop_closer.on_probe_result(
+                    self.map, kid, pv, self.cam_params)
+                if self.loop_closer.n_loops > n_before:
+                    self.stats["n_loops"] += 1
+                    self._chain = None  # poses moved: restart from map pose
+                    self.pose = (self.map.kf_R[kid], self.map.kf_t[kid])
+            row = 0
+            lost = False
+            for rec in recs:
+                C = rec[3].shape[0]
+                for c in range(rec[2]):          # real frames only
+                    ok = self._consume_record(rec, c, pack_vals[row + c],
+                                              prev_pose)
+                    if not ok:
+                        lost = True
+                        break
+                    v = pack_vals[row + c]
+                    prev_pose = (v[4:13].reshape(3, 3), v[13:16])
+                row += C
+                if lost:
                     break
-                prev_pose = (v[4:13].reshape(3, 3), v[13:16])
         self.timer.stop("pipeline_finalize")
 
-    def _consume_record(self, rec, v, prev_pose) -> bool:
-        """Host policy for one lagged frame. Returns False on tracking loss
-        (remaining burst frames are dropped, like the reference's frame
-        drops on backpressure)."""
-        ts, fid, _, feats, u_r, depth, mp_feat = rec
+    def _consume_record(self, rec, c, v, prev_pose) -> bool:
+        """Host policy for one lagged frame (frame `c` of chunk record
+        `rec`). Returns False on tracking loss (remaining burst frames are
+        dropped, like the reference's frame drops on backpressure)."""
+        ts, fid = rec[0][c], rec[1][c]
         cfg = self.cfg
         n_valid, n_inl = int(v[0]), int(v[1])
         n_close_t, n_close_u = int(v[2]), int(v[3])
@@ -642,6 +743,7 @@ class Tracker:
             self.lost_since = ts
             self.vel = (jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32))
             self._chain = None
+            self._img_buf = []
             Verbose.log(f"[tracker] lost in pipelined burst ({n_inl} inliers)")
             return False
         self.pose = (jnp.asarray(R), jnp.asarray(t))
@@ -654,7 +756,7 @@ class Tracker:
         self.n_inliers_last = n_inl
         if self._need_new_keyframe_scalars(n_inl, n_close_t, n_close_u, fid):
             with self.timer.stage("keyframe"):
-                self._create_keyframe_from_record(rec, R, t, n_inl)
+                self._create_keyframe_from_record(rec, c, R, t, n_inl)
         return True
 
     def _need_new_keyframe_scalars(self, n_inliers, n_close_tracked,
@@ -674,14 +776,15 @@ class Tracker:
               and n_inliers > 15)
         return bool(((c1a or c1b or c1c) and c2) or (c1c and c1b))
 
-    def _create_keyframe_from_record(self, rec, R, t, n_inl):
-        ts, fid, _, feats, u_r, depth, mp_feat = rec
+    def _create_keyframe_from_record(self, rec, c, R, t, n_inl):
+        ts, fid = rec[0][c], rec[1][c]
+        _, _, _, _, xy0, lvl0, desc0, val0, u_r, depth, mp_feat = rec
         cfg = self.cfg
         kid = self._nkf
         self.map, _ = _insert_kf_and_spawn(
             self.map, jnp.asarray(R), jnp.asarray(t), jnp.float32(ts),
-            feats.xy[0], feats.level[0], feats.desc[0], feats.valid[0],
-            u_r, depth, mp_feat, self.cam_params,
+            xy0[c], lvl0[c], desc0[c], val0[c], u_r[c], depth[c],
+            mp_feat[c], self.cam_params,
             float(cfg.stereo.depth_factor * cfg.stereo.baseline),
             cam_model=cfg.camera.model_id, n_levels=cfg.orb.n_levels)
         self._n_kf_host = kid + 1
@@ -697,11 +800,13 @@ class Tracker:
                 self.loop_closer.abort_gba = True
             self._map_queue.put(kid)
         else:
-            self._mapping_pipeline(kid)
+            self._mapping_pipeline(kid, lagged_loops=True)
 
     def _drain_pipeline(self):
         """Flush in-flight pipelined frames before any synchronous logic."""
-        if self._pending:
+        if self._img_buf:
+            self._dispatch_chunk(pad_to_full=True)
+        if self._pending or self._probe_pending:
             self._finalize_pending()
         self._chain = None
 
@@ -1072,11 +1177,16 @@ class Tracker:
             self._mapper_thread.join(timeout=5.0)
             self._mapper_thread = None
 
-    def _mapping_pipeline(self, kid: int):
+    def _mapping_pipeline(self, kid: int, lagged_loops: bool = False):
         """Per-keyframe mapping work (LocalMapping::Run order,
         LocalMapping.cc:64): cull young landmarks -> triangulate with
         neighbors -> local BA -> loop closing -> merge -> VI window BA.
-        Runs inline (sync mode) or on the mapper thread (async mode)."""
+        Runs inline (sync mode) or on the mapper thread (async mode).
+
+        With `lagged_loops` (pipelined mode), the loop-closing candidate
+        probe is only DISPATCHED here; its result is consumed one burst
+        later in _finalize_pending — the LoopClosing-thread semantics of the
+        reference without any device round trip on the keyframe path."""
         cfg = self.cfg
         with self.timer.stage("local_mapping"):
             self.map = lm_ops.cull_mappoints(self.map, jnp.int32(kid))
@@ -1091,14 +1201,20 @@ class Tracker:
         if self.place_rec is not None:
             if self.loop_closer is not None:
                 with self.timer.stage("loop_closing"):
-                    n_before = self.loop_closer.n_loops
-                    self.map = self.loop_closer.on_keyframe(
-                        self.map, kid, self.cam_params, n_kf=self._nkf)
-                    if self.loop_closer.n_loops > n_before:
-                        self.stats["n_loops"] += 1
-                        if not self._in_mapper_thread:
-                            self.pose = (self.map.kf_R[kid],
-                                         self.map.kf_t[kid])
+                    if lagged_loops:
+                        h = self.loop_closer.dispatch_probe(
+                            self.map, kid, self._nkf)
+                        if h is not None:
+                            self._probe_pending.append((kid, h))
+                    else:
+                        n_before = self.loop_closer.n_loops
+                        self.map = self.loop_closer.on_keyframe(
+                            self.map, kid, self.cam_params, n_kf=self._nkf)
+                        if self.loop_closer.n_loops > n_before:
+                            self.stats["n_loops"] += 1
+                            if not self._in_mapper_thread:
+                                self.pose = (self.map.kf_R[kid],
+                                             self.map.kf_t[kid])
 
             # cross-map merge detection (NewDetectCommonRegions merge branch
             # -> MergeLocal): query retired maps' BoW databases

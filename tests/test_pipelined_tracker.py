@@ -36,7 +36,7 @@ class TestPipelinedTracker:
     def test_matches_sync_quality(self, sequence):
         frames, rig, _ = sequence
         tr = Tracker(small_config(rig), sensor="stereo",
-                     enable_loop_closing=False, pipeline=6)
+                     enable_loop_closing=False, pipeline=6, chunk=2)
         for img_pair, _, ts in frames:
             tr.process_frame(img_pair, ts)
         tr.finish()
@@ -51,7 +51,7 @@ class TestPipelinedTracker:
     def test_loss_in_burst_drains_to_sync(self, sequence):
         frames, rig, _ = sequence
         tr = Tracker(small_config(rig), sensor="stereo",
-                     enable_loop_closing=False, pipeline=6)
+                     enable_loop_closing=False, pipeline=6, chunk=2)
         rng = np.random.default_rng(0)
         for i, (img_pair, _, ts) in enumerate(frames[:24]):
             if 12 <= i < 18:  # blind the camera mid-burst
