@@ -99,6 +99,17 @@ class BAConfig:
 
 
 @dataclass
+class MappingConfig:
+    # LocalMapping neighbor windows (LocalMapping.cc: CreateNewMapPoints
+    # nn=10 covisible neighbors :394; SearchInNeighbors fuse :726;
+    # KeyFrameCulling :914)
+    n_tri_neighbors: int = 10         # triangulation partners per new KF
+    n_fuse_neighbors: int = 3         # reverse-fuse targets per new KF
+    kf_culling: bool = True           # enable >=90%-redundancy culling
+    covis_ba_window: bool = True      # covisibility-selected local-BA window
+
+
+@dataclass
 class MapConfig:
     max_kf: int = 256
     max_mp: int = 16384
@@ -114,6 +125,7 @@ class SlamConfig:
     orb: OrbConfig = field(default_factory=OrbConfig)
     tracker: TrackerConfig = field(default_factory=TrackerConfig)
     ba: BAConfig = field(default_factory=BAConfig)
+    mapping: MappingConfig = field(default_factory=MappingConfig)
     map: MapConfig = field(default_factory=MapConfig)
     use_imu: bool = False
 

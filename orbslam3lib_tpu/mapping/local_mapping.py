@@ -30,6 +30,52 @@ from ..ops.pyramid import scale_factors
 from ..utils import cameras, lie
 
 
+@partial(jax.jit, static_argnames=("n",))
+def top_covisible(m: ms.MapState, kf_id, n: int = 10):
+    """Top-n covisible keyframes of kf_id by shared-observation weight
+    (KeyFrame::GetBestCovisibilityKeyFrames, KeyFrame.h:81). One MXU matmul
+    for the covisibility row; ids are -1 where no covisible KF exists."""
+    O = ms.observation_matrix(m)                 # (K, P)
+    row = O @ O[jnp.clip(kf_id, 0, m.max_kf - 1)]
+    row = jnp.where(jnp.arange(m.max_kf) == kf_id, 0.0, row)
+    row = row * m.kf_valid
+    top_w, top_i = jax.lax.top_k(row, n)
+    return jnp.where(top_w > 0, top_i.astype(jnp.int32), -1)
+
+
+@partial(jax.jit, static_argnames=("n_win", "n_fixed"))
+def covis_ba_window(m: ms.MapState, kf_id, n_win: int, n_fixed: int):
+    """Local-BA window by covisibility (Optimizer.cc:1124 semantics): the
+    current KF + its best covisible neighbors are optimizable; the OLDEST
+    n_fixed members of the selection anchor the gauge (the reference fixes
+    the non-window observers; the oldest covisible members are exactly the
+    ones most constrained by the rest of the map).
+
+    Returns (ids (n_fixed+n_win,), fixed (n_fixed+n_win,) bool), -1-padded,
+    ordered oldest-first so fixed slots lead."""
+    C = n_fixed + n_win
+    nbrs = top_covisible(m, kf_id, C - 1)
+    BIGID = jnp.int32(10 ** 9)
+    sel = jnp.concatenate([jnp.where(nbrs >= 0, nbrs, BIGID),
+                           jnp.asarray(kf_id, jnp.int32).reshape(1)])
+    sel = jnp.sort(sel)                          # oldest first, pads last
+    ids = jnp.where(sel < BIGID, sel, -1)
+    fixed = jnp.arange(C) < n_fixed
+    return ids, fixed
+
+
+@jax.jit
+def observed_mp_mask(m: ms.MapState, kf_ids) -> jnp.ndarray:
+    """(P,) bool: landmarks observed by any of kf_ids (-1 entries ignored)."""
+    ids = jnp.clip(kf_ids, 0, m.max_kf - 1)
+    rows = m.kf_mp[ids]                          # (A, F)
+    ok = (kf_ids[:, None] >= 0) & (rows >= 0) & m.kf_feat_valid[ids]
+    tgt = jnp.where(ok, rows, m.max_mp)
+    mask = jnp.zeros(m.max_mp + 1, bool).at[tgt.reshape(-1)].set(
+        True, mode="drop")
+    return mask[:m.max_mp] & m.mp_valid
+
+
 @partial(jax.jit, static_argnames=("cam_model", "n_levels"))
 def triangulate_pair(m: ms.MapState, kf_a, kf_b, cam_params,
                      cam_model: int = cameras.PINHOLE, n_levels: int = 8,
@@ -110,6 +156,11 @@ def triangulate_pair(m: ms.MapState, kf_a, kf_b, cam_params,
     ratio_o = sig_a / jnp.maximum(sig_b[best], 1e-6)
     ok = ok * step01((ratio_d - ratio_o / 1.5) * 8.0)
     ok = ok * step01((ratio_o * 1.5 - ratio_d) * 8.0)
+    # neighbor validity gate (covisibility lists pad with -1; self-pairs
+    # and culled neighbors are no-ops); integer-exact gates
+    ok = ok * step01(kf_b.astype(jnp.float32) + 1.0) \
+            * step01(jnp.abs(kf_a - kf_b).astype(jnp.float32)) \
+            * m.kf_valid[b].astype(jnp.float32)
 
     want = ok > 0.5
     normal = (p_w - ca) / jnp.maximum(dist_a[:, None], 1e-9)
@@ -157,7 +208,7 @@ def fuse_into_keyframe(m: ms.MapState, kf_id, mp_candidates_valid, cam_params,
     from ..tracking.matching import search_by_projection
 
     k = jnp.clip(kf_id, 0, m.max_kf - 1)
-    cand = m.mp_valid & mp_candidates_valid
+    cand = m.mp_valid & mp_candidates_valid & (kf_id >= 0) & m.kf_valid[k]
     pm = search_by_projection(
         m.mp_pos, m.mp_desc, cand, m.mp_normal, m.mp_min_dist, m.mp_max_dist,
         m.kf_R[k], m.kf_t[k], cam_params, m.kf_xy[k], m.kf_level[k],

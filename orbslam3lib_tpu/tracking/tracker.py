@@ -1190,10 +1190,33 @@ class Tracker:
         cfg = self.cfg
         with self.timer.stage("local_mapping"):
             self.map = lm_ops.cull_mappoints(self.map, jnp.int32(kid))
-            for nb in range(max(0, kid - 2), kid):
+            # covisibility-driven neighbor set (CreateNewMapPoints nn=10,
+            # LocalMapping.cc:394) — device-resident ids, no fetch
+            nbrs = lm_ops.top_covisible(self.map, jnp.int32(kid),
+                                        n=cfg.mapping.n_tri_neighbors)
+            for i in range(cfg.mapping.n_tri_neighbors):
                 self.map, n_new = lm_ops.triangulate_pair(
-                    self.map, jnp.int32(kid), jnp.int32(nb), self.cam_params,
+                    self.map, jnp.int32(kid), nbrs[i], self.cam_params,
                     cam_model=cfg.camera.model_id, n_levels=cfg.orb.n_levels)
+            # SearchInNeighbors fuse, both directions (LocalMapping.cc:726)
+            cand = lm_ops.observed_mp_mask(self.map, nbrs)
+            self.map, _ = lm_ops.fuse_into_keyframe(
+                self.map, jnp.int32(kid), cand, self.cam_params,
+                cam_model=cfg.camera.model_id, img_w=cfg.camera.width,
+                img_h=cfg.camera.height, n_levels=cfg.orb.n_levels)
+            own = lm_ops.observed_mp_mask(
+                self.map, jnp.asarray([kid], jnp.int32))
+            for i in range(cfg.mapping.n_fuse_neighbors):
+                self.map, _ = lm_ops.fuse_into_keyframe(
+                    self.map, nbrs[i], own, self.cam_params,
+                    cam_model=cfg.camera.model_id, img_w=cfg.camera.width,
+                    img_h=cfg.camera.height, n_levels=cfg.orb.n_levels)
+            # KeyFrameCulling (LocalMapping.cc:914); protect the fresh KF,
+            # its predecessor and the map origin
+            if cfg.mapping.kf_culling:
+                self.map = lm_ops.cull_keyframes(
+                    self.map, jnp.asarray([0, max(kid - 1, 0), kid],
+                                          jnp.int32))
 
         with self.timer.stage("local_ba"):
             self._run_local_ba(kid)
@@ -1368,23 +1391,32 @@ class Tracker:
     def _run_local_ba(self, kf_id: int):
         cfg = self.cfg
         n_kf = self._nkf
+        if n_kf < 3:
+            return
         C = cfg.ba.window_size + cfg.ba.n_fixed
-        ids = np.full(C, -1, np.int32)
-        fixed = np.zeros(C, bool)
-        lo = max(0, n_kf - cfg.ba.window_size)
-        win = list(range(lo, n_kf))
-        anchors = list(range(max(0, lo - cfg.ba.n_fixed), lo)) or [0]
-        sel = anchors + win
-        ids[:len(sel)] = sel
-        fixed[:len(anchors)] = True
-        if len(win) >= 2:
-            self.map = _local_ba(
-                self.map, jnp.asarray(ids), jnp.asarray(fixed),
-                self.cam_params, float(cfg.bf),
-                cam_model=cfg.camera.model_id,
-                n_ba_points=cfg.ba.max_points, n_iters=cfg.ba.n_iters)
-            if not self._in_mapper_thread:
-                self.pose = (self.map.kf_R[kf_id], self.map.kf_t[kf_id])
+        if cfg.mapping.covis_ba_window:
+            # covisibility-selected window, oldest members fixed
+            # (LocalBundleAdjustment, Optimizer.cc:1124)
+            ids, fixed = lm_ops.covis_ba_window(
+                self.map, jnp.int32(kf_id), n_win=cfg.ba.window_size,
+                n_fixed=cfg.ba.n_fixed)
+        else:
+            idsn = np.full(C, -1, np.int32)
+            fixedn = np.zeros(C, bool)
+            lo = max(0, n_kf - cfg.ba.window_size)
+            win = list(range(lo, n_kf))
+            anchors = list(range(max(0, lo - cfg.ba.n_fixed), lo)) or [0]
+            sel = anchors + win
+            idsn[:len(sel)] = sel
+            fixedn[:len(anchors)] = True
+            ids, fixed = jnp.asarray(idsn), jnp.asarray(fixedn)
+        self.map = _local_ba(
+            self.map, ids, fixed,
+            self.cam_params, float(cfg.bf),
+            cam_model=cfg.camera.model_id,
+            n_ba_points=cfg.ba.max_points, n_iters=cfg.ba.n_iters)
+        if not self._in_mapper_thread:
+            self.pose = (self.map.kf_R[kf_id], self.map.kf_t[kf_id])
 
     # -- IMU initialization staging (LocalMapping::InitializeIMU) -----------
     def _note_kf_imu(self, ts: float):
