@@ -190,30 +190,41 @@ def corridor_trajectory(n_frames: int, dt: float = 1.0 / 15.0,
 def synth_imu(t0: float, t1: float, freq: float = 200.0,
               speed: float = 0.8, wiggle: float = 0.25,
               bg=np.zeros(3), ba=np.zeros(3),
-              sigma_g: float = 0.0, sigma_a: float = 0.0, rng=None):
+              sigma_g: float = 0.0, sigma_a: float = 0.0, rng=None,
+              R_bc=None, t_bc=None):
     """Synthesize body-frame IMU samples along the corridor trajectory in
     (t0, t1]: gyro (N,3), specific-force accel (N,3), dts (N,).
 
-    The IMU frame equals the (left) camera frame (T_bc = identity).
-    Rates/accelerations come from central finite differences of the analytic
-    pose; the accelerometer measures f = R_wb^T (a_w - g_w).
+    R_bc/t_bc: IMU-from-camera extrinsic (p_b = R_bc p_c + t_bc); identity
+    by default. The body trajectory is R_wb(t) = R_wc(t) R_bc^T,
+    p_b(t) = c(t) - R_wb(t) t_bc (lever arm included, so a rotating rig
+    produces the correct centripetal accelerations). Rates/accelerations
+    come from central finite differences of the analytic pose; the
+    accelerometer measures f = R_wb^T (a_w - g_w).
     """
+    R_bc = np.eye(3) if R_bc is None else np.asarray(R_bc, np.float64)
+    t_bc = np.zeros(3) if t_bc is None else np.asarray(t_bc, np.float64)
     dt = 1.0 / freq
     ts = np.arange(t0 + dt, t1 + dt * 0.5, dt)
     eps = 1e-4
-    R0, p_m = corridor_pose_at(ts - dt * 0.5, speed, wiggle)   # midpoints
-    _, p_lo = corridor_pose_at(ts - dt * 0.5 - eps, speed, wiggle)
-    _, p_hi = corridor_pose_at(ts - dt * 0.5 + eps, speed, wiggle)
-    a_w = (p_hi.astype(np.float64) - 2 * p_m + p_lo) / (eps * eps)
+
+    def body_pose(tq):
+        R_wc, c = corridor_pose_at(tq, speed, wiggle)
+        R_wb = R_wc.astype(np.float64) @ R_bc.T
+        p_b = c.astype(np.float64) - np.einsum("tij,j->ti", R_wb, t_bc)
+        return R_wb, p_b
+
+    R0, p_m = body_pose(ts - dt * 0.5)                 # midpoints
+    Ra, p_lo = body_pose(ts - dt * 0.5 - eps)
+    Rb, p_hi = body_pose(ts - dt * 0.5 + eps)
+    a_w = (p_hi - 2 * p_m + p_lo) / (eps * eps)
     # body rates from rotation increments around the midpoint
-    Ra, _ = corridor_pose_at(ts - dt * 0.5 - eps, speed, wiggle)
-    Rb, _ = corridor_pose_at(ts - dt * 0.5 + eps, speed, wiggle)
     gyro = np.zeros((len(ts), 3), dtype=np.float64)
     for i in range(len(ts)):
         dRm = Ra[i].T @ Rb[i]
         w_hat = (dRm - dRm.T) / (2 * 2 * eps)   # log approx for tiny angles
         gyro[i] = [w_hat[2, 1], w_hat[0, 2], w_hat[1, 0]]
-    f_b = np.einsum("tij,tj->ti", np.transpose(R0, (0, 2, 1)).astype(np.float64),
+    f_b = np.einsum("tij,tj->ti", np.transpose(R0, (0, 2, 1)),
                     a_w - GRAVITY_W)
     rng = rng or np.random.default_rng(0)
     gyro = gyro + bg + rng.normal(0, sigma_g, gyro.shape)

@@ -61,13 +61,23 @@ def local_inertial_ba(m: ms.MapState, window_ids, fixed_mask,
                       pres: imu_mod.Preintegrated, pre_valid,
                       bg0, ba0, cam_params, bf: float,
                       cam_model: int = cameras.PINHOLE,
-                      n_iters: int = 8, n_levels: int = 8) -> VIWindowResult:
+                      n_iters: int = 8, n_levels: int = 8,
+                      R_bc=None, t_bc=None,
+                      v_init=None, v_init_valid=None) -> VIWindowResult:
     """Windowed VI-BA over keyframes `window_ids` (C,), landmarks fixed.
 
     pres: stacked preintegrations for the C-1 consecutive gaps; pre_valid
     (C-1,) masks gaps without IMU data. fixed_mask (C,) holds anchor
-    keyframes (and empty slots) constant.
+    keyframes (and empty slots) constant. R_bc/t_bc: IMU-from-camera
+    extrinsic (identity when omitted). v_init/v_init_valid: per-KF stored
+    velocities (MapState.kf_v — the reference KeyFrames carry velocity,
+    KeyFrame.h:206) seeding the solve; slots without one fall back to the
+    closed-form construction.
     """
+    if R_bc is None:
+        R_bc = jnp.eye(3, dtype=jnp.float32)
+    if t_bc is None:
+        t_bc = jnp.zeros(3, jnp.float32)
     C = window_ids.shape[0]
     F = m.n_feat
     ids = jnp.clip(window_ids, 0, m.max_kf - 1)
@@ -88,10 +98,15 @@ def local_inertial_ba(m: ms.MapState, window_ids, fixed_mask,
 
     R0 = m.kf_R[ids]
     t0 = m.kf_t[ids]
-    Rwb0 = jnp.swapaxes(R0, -1, -2)
-    p0 = -jnp.einsum("kij,kj->ki", Rwb0, t0)
+    Rwb0, p0 = jax.vmap(
+        lambda R, t: imu_mod.body_from_cam(R, t, R_bc, t_bc))(R0, t0)
     g_w = jnp.asarray([0.0, imu_mod.GRAVITY, 0.0], jnp.float32)
-    v0 = _closed_form_velocities(Rwb0, p0, pres, bg0, ba0, g_w)
+    v_cf = _closed_form_velocities(Rwb0, p0, pres, bg0, ba0, g_w)
+    if v_init is None:
+        v0 = v_cf
+    else:
+        use = (v_init_valid & cam_ok)[:, None]
+        v0 = jnp.where(use, v_init, v_cf)
 
     # inertial whitening (sqrt-information per gap)
     info9 = jnp.linalg.inv(pres.cov + 1e-8 * jnp.eye(9))
@@ -135,9 +150,9 @@ def local_inertial_ba(m: ms.MapState, window_ids, fixed_mask,
             (1.0 - behind.astype(jnp.float32)))
         r_vis = (r_vis * jnp.sqrt(w)[..., None]).reshape(-1)
 
-        # inertial chain
-        Rwb = jnp.swapaxes(R, -1, -2)
-        p = -jnp.einsum("kij,kj->ki", Rwb, t)
+        # inertial chain (body poses through T_bc)
+        Rwb, p = jax.vmap(
+            lambda Ri_, ti_: imu_mod.body_from_cam(Ri_, ti_, R_bc, t_bc))(R, t)
 
         def gap_res(i):
             r = imu_mod.inertial_residual(
@@ -167,13 +182,23 @@ def local_inertial_ba(m: ms.MapState, window_ids, fixed_mask,
 
 def apply_vi_window(m: ms.MapState, window_ids, fixed_mask,
                     res: VIWindowResult) -> ms.MapState:
-    """Scatter optimized window poses back into the map (valid, non-fixed)."""
+    """Scatter optimized window poses back into the map (valid, non-fixed)
+    and record per-KF inertial state (velocity + window bias) — the
+    reference KeyFrames carry velocity/bias (KeyFrame.h:206-216)."""
     ids = jnp.clip(window_ids, 0, m.max_kf - 1)
     cam_ok = (window_ids >= 0) & m.kf_valid[ids]
     upd = cam_ok & (~fixed_mask)
+    bgs = jnp.broadcast_to(res.bg, res.v.shape)
+    bas = jnp.broadcast_to(res.ba, res.v.shape)
     return m._replace(
         kf_R=m.kf_R.at[ids].set(
             jnp.where(upd[:, None, None], res.kf_R, m.kf_R[ids])),
         kf_t=m.kf_t.at[ids].set(
             jnp.where(upd[:, None], res.kf_t, m.kf_t[ids])),
+        kf_v=m.kf_v.at[ids].set(
+            jnp.where(cam_ok[:, None], res.v, m.kf_v[ids])),
+        kf_bg=m.kf_bg.at[ids].set(
+            jnp.where(cam_ok[:, None], bgs, m.kf_bg[ids])),
+        kf_ba=m.kf_ba.at[ids].set(
+            jnp.where(cam_ok[:, None], bas, m.kf_ba[ids])),
     )

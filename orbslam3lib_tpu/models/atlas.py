@@ -38,7 +38,10 @@ def transform_map(m: ms.MapState, R12, t12, s12) -> ms.MapState:
     )(m.kf_R, m.kf_t)
     kf_t = tn / jnp.maximum(sn[:, None], 1e-9)
     valid = m.mp_valid.astype(jnp.float32)[:, None]
-    return m._replace(kf_R=Rn, kf_t=kf_t,
+    # world velocities transform as v' = s R v (Map::ApplyScaledRotation
+    # scales velocities too, Map.cc)
+    kf_v = s12 * (m.kf_v @ R12.T)
+    return m._replace(kf_R=Rn, kf_t=kf_t, kf_v=kf_v,
                       mp_pos=valid * p_new + (1 - valid) * m.mp_pos)
 
 
@@ -88,6 +91,9 @@ def merge_into(dst: ms.MapState, src: ms.MapState) -> ms.MapState:
         kf_mp=dst.kf_mp.at[kf_tgt].set(
             jnp.where(kf_ok[:, None], src_kf_mp, -1), mode="drop"),
         kf_depth=sc(dst.kf_depth, src.kf_depth, kf_tgt, kf_ok),
+        kf_v=sc(dst.kf_v, src.kf_v, kf_tgt, kf_ok),
+        kf_bg=sc(dst.kf_bg, src.kf_bg, kf_tgt, kf_ok),
+        kf_ba=sc(dst.kf_ba, src.kf_ba, kf_tgt, kf_ok),
         n_kf=dst.n_kf + jnp.sum(kf_ok.astype(jnp.int32)),
         mp_pos=sc(dst.mp_pos, src.mp_pos, mp_tgt, mp_ok),
         mp_valid=dst.mp_valid.at[mp_tgt].set(mp_ok, mode="drop"),

@@ -44,6 +44,10 @@ class MapState(NamedTuple):
     kf_feat_valid: jnp.ndarray  # (K, F) bool
     kf_mp: jnp.ndarray       # (K, F) int32 landmark id or -1
     kf_depth: jnp.ndarray    # (K, F) float32 stereo depth (<=0: none)
+    # per-KF inertial state (reference KeyFrame.h:206-216: velocity + bias)
+    kf_v: jnp.ndarray        # (K, 3) world velocity of the body frame
+    kf_bg: jnp.ndarray       # (K, 3) gyro bias
+    kf_ba: jnp.ndarray       # (K, 3) accel bias
     n_kf: jnp.ndarray        # () int32
     # --- landmarks ---
     mp_pos: jnp.ndarray      # (P, 3)
@@ -83,6 +87,9 @@ def empty_map(max_kf: int = MAX_KF, max_mp: int = MAX_MP, n_feat: int = 512) -> 
         kf_feat_valid=jnp.zeros((max_kf, n_feat), bool),
         kf_mp=jnp.full((max_kf, n_feat), -1, i32),
         kf_depth=jnp.zeros((max_kf, n_feat), f32),
+        kf_v=jnp.zeros((max_kf, 3), f32),
+        kf_bg=jnp.zeros((max_kf, 3), f32),
+        kf_ba=jnp.zeros((max_kf, 3), f32),
         n_kf=jnp.zeros((), i32),
         mp_pos=jnp.zeros((max_mp, 3), f32),
         mp_valid=jnp.zeros(max_mp, bool),
@@ -99,14 +106,22 @@ def empty_map(max_kf: int = MAX_KF, max_mp: int = MAX_MP, n_feat: int = 512) -> 
 
 @jax.jit
 def insert_keyframe(m: MapState, R, t, ts, xy, level, desc, feat_valid,
-                    mp_assoc, depth) -> tuple[MapState, jnp.ndarray]:
+                    mp_assoc, depth, v=None, bg=None,
+                    ba=None) -> tuple[MapState, jnp.ndarray]:
     """Append a keyframe at slot n_kf and register its observations.
 
     mp_assoc (F,): landmark id already matched to each feature (-1 if none).
+    v/bg/ba: optional inertial state recorded with the keyframe.
     Returns (new_map, kf_id). Capacity overflow drops the insert (kf_id = -1).
     Reference behavior: KeyFrame ctor + MapPoint::AddObservation +
     KeyFrame::UpdateConnections (Tracking::CreateNewKeyFrame, Tracking.cc:3277).
     """
+    if v is None:
+        v = jnp.zeros(3, jnp.float32)
+    if bg is None:
+        bg = jnp.zeros(3, jnp.float32)
+    if ba is None:
+        ba = jnp.zeros(3, jnp.float32)
     k = m.n_kf
     ok = k < m.max_kf
     kc = jnp.minimum(k, m.max_kf - 1)
@@ -123,6 +138,9 @@ def insert_keyframe(m: MapState, R, t, ts, xy, level, desc, feat_valid,
             kf_feat_valid=m.kf_feat_valid.at[kc].set(feat_valid),
             kf_mp=m.kf_mp.at[kc].set(jnp.where(feat_valid, mp_assoc, -1)),
             kf_depth=m.kf_depth.at[kc].set(depth),
+            kf_v=m.kf_v.at[kc].set(v),
+            kf_bg=m.kf_bg.at[kc].set(bg),
+            kf_ba=m.kf_ba.at[kc].set(ba),
             n_kf=k + 1,
         )
 

@@ -17,9 +17,22 @@ def save_map(m: MapState, path: str):
     np.savez_compressed(path, **{k: np.asarray(v) for k, v in m._asdict().items()})
 
 
+def _field_or_default(z, key, field, like):
+    """Backwards-compatible load: fields added after a save default to the
+    empty-map value (e.g. per-KF inertial state on pre-inertial maps)."""
+    if key in z:
+        return jnp.asarray(z[key])
+    return getattr(like, field)
+
+
 def load_map(path: str) -> MapState:
     z = np.load(path)
-    return MapState(**{k: jnp.asarray(z[k]) for k in MapState._fields})
+    K, F = z["kf_mp"].shape
+    P = z["mp_pos"].shape[0]
+    from .map_state import empty_map
+    like = empty_map(K, P, F)
+    return MapState(**{k: _field_or_default(z, k, k, like)
+                       for k in MapState._fields})
 
 
 def save_atlas(atlas: Atlas, path: str):
@@ -38,10 +51,13 @@ def load_atlas(path: str) -> Atlas:
     n = int(z["_n_maps"])
     dims = tuple(int(x) for x in z["_dims"])
     atlas = Atlas(*dims)
+    from .map_state import empty_map
+    like = empty_map(*dims)
     atlas.maps = []
     for i in range(n):
         atlas.maps.append(MapState(
-            **{k: jnp.asarray(z[f"map{i}_{k}"]) for k in MapState._fields}))
+            **{k: _field_or_default(z, f"map{i}_{k}", k, like)
+               for k in MapState._fields}))
     atlas.bad = [False] * n
     atlas.current = int(z["_current"])
     return atlas

@@ -28,12 +28,20 @@ GRAVITY = 9.81
 
 
 class Preintegrated(NamedTuple):
-    """Preintegrated IMU measurements between two frames/keyframes."""
+    """Preintegrated IMU measurements between two frames/keyframes.
+
+    cov + cov_bias together are the reference's 15x15 covariance over
+    [phi, v, p, bg, ba] (ImuTypes.h:159-168): in ImuTypes.cc the cross
+    blocks between the 9-dim preintegration state and the biases stay zero
+    (A's bias rows are identity, B's bias columns zero; only
+    C.block<6,6>(9,9) += NgaWalk accumulates), so the faithful layout is
+    this block-diagonal pair."""
     dt: jnp.ndarray    # () total time
     dR: jnp.ndarray    # (3,3)
     dV: jnp.ndarray    # (3,)
     dP: jnp.ndarray    # (3,)
     cov: jnp.ndarray   # (9,9) covariance of [phi, v, p]
+    cov_bias: jnp.ndarray  # (6,6) accumulated bias random-walk covariance
     JRg: jnp.ndarray   # (3,3) d dR / d bias_gyro
     JVg: jnp.ndarray
     JVa: jnp.ndarray
@@ -50,6 +58,7 @@ def empty_preintegrated(bg=None, ba=None) -> Preintegrated:
     return Preintegrated(
         dt=jnp.zeros((), jnp.float32), dR=I, dV=z3, dP=z3,
         cov=jnp.zeros((9, 9), jnp.float32),
+        cov_bias=jnp.zeros((6, 6), jnp.float32),
         JRg=Z, JVg=Z, JVa=Z, JPg=Z, JPa=Z,
         bg=z3 if bg is None else bg, ba=z3 if ba is None else ba)
 
@@ -57,16 +66,22 @@ def empty_preintegrated(bg=None, ba=None) -> Preintegrated:
 @partial(jax.jit, static_argnames=())
 def integrate(pre: Preintegrated, gyro: jnp.ndarray, acc: jnp.ndarray,
               dts: jnp.ndarray, valid: jnp.ndarray,
-              sigma_g: jnp.ndarray, sigma_a: jnp.ndarray) -> Preintegrated:
+              sigma_g: jnp.ndarray, sigma_a: jnp.ndarray,
+              walk_g: jnp.ndarray = 0.0,
+              walk_a: jnp.ndarray = 0.0) -> Preintegrated:
     """Integrate a (N,3) batch of gyro/accel samples with per-sample dt.
 
     `valid` (N,) masks padding samples (fixed-capacity batches). sigma_g/a
-    are continuous-time noise densities * sqrt(freq) (discrete sigmas).
+    are continuous-time noise densities * sqrt(freq) (discrete sigmas);
+    walk_g/walk_a are the continuous-time bias random-walk densities
+    (NgaWalk, ImuTypes.cc) accumulated into cov_bias as walk^2 * dt.
     Semantics of Preintegrated::IntegrateNewMeasurement (ImuTypes.cc):
     position/velocity first with the pre-update dR, then the rotation.
     """
     Ng = jnp.eye(3) * (sigma_g * sigma_g)
     Na = jnp.eye(3) * (sigma_a * sigma_a)
+    Wg = jnp.eye(3) * (walk_g * walk_g)
+    Wa = jnp.eye(3) * (walk_a * walk_a)
 
     def step(c, x):
         g, a, dt, ok = x
@@ -97,6 +112,7 @@ def integrate(pre: Preintegrated, gyro: jnp.ndarray, acc: jnp.ndarray,
         N = N.at[3:6, 3:6].set(Na / jnp.maximum(dt, 1e-6))
         cov = A @ c.cov @ A.T + B @ N @ B.T
         cov = jnp.where(ok, cov, c.cov)
+        cov_bias = c.cov_bias + jax.scipy.linalg.block_diag(Wg, Wa) * dt
 
         # bias Jacobians (update position/velocity before rotation)
         JPa = c.JPa + c.JVa * dt - 0.5 * c.dR * dt2
@@ -107,6 +123,7 @@ def integrate(pre: Preintegrated, gyro: jnp.ndarray, acc: jnp.ndarray,
 
         dR = lie.normalize_rotation(c.dR @ dRi)
         new = c._replace(dt=c.dt + dt, dR=dR, dV=dV, dP=dP, cov=cov,
+                         cov_bias=cov_bias,
                          JRg=JRg, JVg=JVg, JVa=JVa, JPg=JPg, JPa=JPa)
         return new, None
 
@@ -137,6 +154,23 @@ def predict_state(R_wb, v_w, p_w, pre: Preintegrated, bg, ba,
     v2 = v_w + g_w * dt + R_wb @ dV
     p2 = p_w + v_w * dt + 0.5 * g_w * dt * dt + R_wb @ dP
     return R2, v2, p2
+
+
+def body_from_cam(Rcw, tcw, R_bc, t_bc):
+    """Tcw camera pose -> (R_wb, p_wb) body pose through T_bc (p_b = R_bc p_c
+    + t_bc; the reference's ImuCamPose, G2oTypes.h:74 / EuRoC IMU.T_b_c1)."""
+    Rwc, c_w = lie.se3_inverse(Rcw, tcw)
+    R_wb = Rwc @ R_bc.T
+    p_wb = c_w - R_wb @ t_bc
+    return R_wb, p_wb
+
+
+def cam_from_body(R_wb, p_wb, R_bc, t_bc):
+    """(R_wb, p_wb) body pose -> Tcw camera pose through T_bc."""
+    R_wc = R_wb @ R_bc
+    c_w = p_wb + R_wb @ t_bc
+    Rcw = jnp.swapaxes(R_wc, -1, -2)
+    return Rcw, -(Rcw @ c_w)
 
 
 def inertial_residual(R1, v1, p1, R2, v2, p2, bg, ba, pre: Preintegrated,

@@ -30,11 +30,12 @@ from .pose_opt import PoseObs
 
 
 class InertialFrameState(NamedTuple):
-    """One frame's inertial state: Tcw pose + world velocity + biases."""
-    R: jnp.ndarray    # (3,3) world->cam (body == cam frame by convention here;
-                      # the T_bc extrinsic is applied by the caller)
+    """One frame's inertial state: Tcw CAMERA pose + world velocity +
+    biases. All inertial math converts through the T_bc extrinsic passed to
+    the optimizers (ImuCamPose semantics, G2oTypes.h:74)."""
+    R: jnp.ndarray    # (3,3) world->cam
     t: jnp.ndarray    # (3,)
-    v: jnp.ndarray    # (3,) world velocity
+    v: jnp.ndarray    # (3,) world velocity of the BODY frame
     bg: jnp.ndarray   # (3,)
     ba: jnp.ndarray   # (3,)
 
@@ -47,10 +48,7 @@ def _apply_delta(st: InertialFrameState, dx):
         bg=st.bg + dx[9:12], ba=st.ba + dx[12:15])
 
 
-def _wb_from_cw(R, t):
-    """Tcw -> (R_wb, p_w) with body == camera."""
-    Rwc, c = lie.se3_inverse(R, t)
-    return Rwc, c
+
 
 
 @partial(jax.jit, static_argnames=("cam_model", "n_iters"))
@@ -60,20 +58,29 @@ def pose_inertial_optimization(cur: InertialFrameState,
                                obs: PoseObs, cam_params,
                                cam_model: int = cameras.PINHOLE,
                                bf: float = 0.0, n_iters: int = 10,
-                               lm_lambda: float = 1e-3):
+                               lm_lambda: float = 1e-3,
+                               R_bc=None, t_bc=None):
     """Optimize the current frame's 15-dof state; the anchor (last KF or last
-    frame) is fixed (PoseInertialOptimizationLastKeyFrame semantics).
+    frame) is fixed (PoseInertialOptimizationLastKeyFrame semantics). R_bc /
+    t_bc: IMU-from-camera extrinsic (identity when omitted).
 
     Returns (state, inlier_mask, n_inliers).
     """
+    if R_bc is None:
+        R_bc = jnp.eye(3, dtype=jnp.float32)
+    if t_bc is None:
+        t_bc = jnp.zeros(3, jnp.float32)
     info9 = jnp.linalg.inv(pre.cov + 1e-8 * jnp.eye(9))
     # factorize information for whitened residuals (sqrt-info)
     L9 = jnp.linalg.cholesky(info9)
     chi2_th = jnp.where(obs.is_stereo, CHI2_STEREO, CHI2_MONO)
     delta = jnp.where(obs.is_stereo, DELTA_STEREO, DELTA_MONO)
-    # bias random-walk information (EdgeGyroRW/EdgeAccRW)
-    w_bg = 1.0 / 1e-4
-    w_ba = 1.0 / 1e-2
+    # bias random-walk information from the accumulated walk covariance
+    # (EdgeGyroRW/EdgeAccRW with InfoG/InfoA = NgaWalk^-1, Optimizer.cc:4918)
+    info_bg = jnp.linalg.inv(pre.cov_bias[:3, :3] + 1e-10 * jnp.eye(3))
+    info_ba = jnp.linalg.inv(pre.cov_bias[3:, 3:] + 1e-10 * jnp.eye(3))
+    Lbg = jnp.linalg.cholesky(info_bg)
+    Lba = jnp.linalg.cholesky(info_ba)
 
     def residuals(dx, inlier):
         st = _apply_delta(cur, dx)
@@ -94,16 +101,16 @@ def pose_inertial_optimization(cur: InertialFrameState,
             obs.inv_sigma2 * w_h * inlier * obs.valid * (~behind))
         r_vis = r_vis * jnp.sqrt(w)[:, None]
 
-        # inertial edge anchor -> current
-        R1, p1 = _wb_from_cw(anchor.R, anchor.t)
-        R2_, p2 = _wb_from_cw(st.R, st.t)
+        # inertial edge anchor -> current (body poses through T_bc)
+        R1, p1 = imu_mod.body_from_cam(anchor.R, anchor.t, R_bc, t_bc)
+        R2_, p2 = imu_mod.body_from_cam(st.R, st.t, R_bc, t_bc)
         r_imu = imu_mod.inertial_residual(R1, anchor.v, p1, R2_, st.v, p2,
                                           st.bg, st.ba, pre)
         r_imu = L9.T @ r_imu
 
-        # bias random walk vs anchor bias
-        r_bg = (st.bg - anchor.bg) * jnp.sqrt(w_bg)
-        r_ba = (st.ba - anchor.ba) * jnp.sqrt(w_ba)
+        # bias random walk vs anchor bias, whitened by the walk covariance
+        r_bg = Lbg.T @ (st.bg - anchor.bg)
+        r_ba = Lba.T @ (st.ba - anchor.ba)
         return jnp.concatenate([r_vis.reshape(-1), r_imu, r_bg, r_ba]), chi2, behind
 
     def iteration(carry, _):
@@ -132,7 +139,8 @@ def pose_inertial_optimization(cur: InertialFrameState,
 def inertial_init_optimization(kf_R, kf_t, kf_valid, pres: imu_mod.Preintegrated,
                                pre_valid, n_iters: int = 60,
                                opt_scale: bool = False,
-                               prior_g: float = 1e2, prior_a: float = 1e6):
+                               prior_g: float = 1e2, prior_a: float = 1e6,
+                               R_bc=None, t_bc=None):
     """Gravity-direction + bias (+ scale) estimation over a KF window with
     poses fixed — InertialOptimization (Optimizer.cc:3068) used by
     LocalMapping::InitializeIMU.
@@ -147,9 +155,15 @@ def inertial_init_optimization(kf_R, kf_t, kf_valid, pres: imu_mod.Preintegrated
     K = kf_R.shape[0]
     G = 9.81
     g_ref = jnp.asarray([0.0, G, 0.0], jnp.float32)  # +y down
+    if R_bc is None:
+        R_bc = jnp.eye(3, dtype=jnp.float32)
+    if t_bc is None:
+        t_bc = jnp.zeros(3, jnp.float32)
 
-    Rwb = jnp.swapaxes(kf_R, -1, -2)                  # body==cam
-    p = -jnp.einsum("kij,kj->ki", Rwb, kf_t)          # centers
+    Rwc = jnp.swapaxes(kf_R, -1, -2)
+    c_w = -jnp.einsum("kij,kj->ki", Rwc, kf_t)        # camera centers
+    Rwb = jnp.einsum("kij,lj->kil", Rwc, R_bc)        # R_wc @ R_bc^T
+    lever = -jnp.einsum("kij,j->ki", Rwb, t_bc)       # metric, UNscaled
     dts = pres.dt                                      # (K-1,)
 
     # whitening per gap (reference EdgeInertialGS weights by the preintegration
@@ -169,9 +183,12 @@ def inertial_init_optimization(kf_R, kf_t, kf_valid, pres: imu_mod.Preintegrated
 
     def velocities(bg, ba, s, g_w):
         """Closed-form per-gap velocity from the position preintegration:
-        p2 = p1 + v1 dt + 0.5 g dt^2 + R1 dP  =>  v1."""
+        p2 = p1 + v1 dt + 0.5 g dt^2 + R1 dP  =>  v1. Body positions are
+        s * camera_center + lever (the T_bc lever arm is metric and does
+        not scale with the mono map)."""
         dR, dV, dP = jax.vmap(lambda pr: imu_mod.corrected_deltas(pr, bg, ba))(pres)
-        p1, p2 = s * p[:-1], s * p[1:]
+        p = s * c_w + lever
+        p1, p2 = p[:-1], p[1:]
         dt = jnp.maximum(dts, 1e-4)[:, None]
         v1 = (p2 - p1 - 0.5 * g_w * (dt ** 2) -
               jnp.einsum("kij,kj->ki", Rwb[:-1], dP)) / dt
@@ -182,9 +199,10 @@ def inertial_init_optimization(kf_R, kf_t, kf_valid, pres: imu_mod.Preintegrated
         R_wg, bg, ba, s = unpack(x)
         g_w = R_wg @ g_ref
         v = velocities(bg, ba, s, g_w)
+        p = s * c_w + lever
         def gap_res(i):
             r = imu_mod.inertial_residual(
-                Rwb[i], v[i], s * p[i], Rwb[i + 1], v[i + 1], s * p[i + 1],
+                Rwb[i], v[i], p[i], Rwb[i + 1], v[i + 1], p[i + 1],
                 bg, ba, jax.tree_util.tree_map(lambda a: a[i], pres),
                 g_w=g_w)
             return (L9[i].T @ r) * pre_valid[i]

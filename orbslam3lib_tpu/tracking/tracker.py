@@ -261,7 +261,7 @@ def _update_mp_stats(m: ms.MapState, visible, found):
 def _insert_kf_and_spawn(m: ms.MapState, R, t, ts, feat_xy, feat_level,
                          feat_desc, feat_valid, u_right, depth, mp_feat,
                          cam_params, close_depth: float, cam_model: int,
-                         n_levels: int):
+                         n_levels: int, v=None, bg=None, ba=None):
     """Insert a keyframe; bind tracked landmarks; spawn new close-stereo
     landmarks for unmatched features (CreateNewKeyFrame, Tracking.cc:3277)."""
     F = feat_xy.shape[0]
@@ -272,7 +272,7 @@ def _insert_kf_and_spawn(m: ms.MapState, R, t, ts, feat_xy, feat_level,
     assoc = jnp.full(F, -1, jnp.int32).at[tgt].set(pidx, mode="drop")
 
     m2, kf_id = ms.insert_keyframe(m, R, t, ts, feat_xy, feat_level, feat_desc,
-                                   feat_valid, assoc, depth)
+                                   feat_valid, assoc, depth, v=v, bg=bg, ba=ba)
 
     # spawn stereo points for unmatched features: all closer than the
     # close-depth threshold, topped up with the nearest 100 beyond it
@@ -362,6 +362,7 @@ class Tracker:
         self._stack_cache: dict = {}  # burst-size -> stacking jit
         self._n_kf_host = None        # host mirror of map.n_kf
         self._dev_static = None       # cached device copies of rig constants
+        self._dev_tbc = None          # cached (R_bc, t_bc) device arrays
         self._dev_threshold = None    # (host value, device scalar)
         self._probe_pending: List = []  # (kf_id, loop-probe device handle)
         mc = cfg.map
@@ -439,6 +440,16 @@ class Tracker:
     def map(self, m: ms.MapState):
         self.atlas.current_map = m
 
+    @property
+    def _tbc(self):
+        """Cached device copies of the IMU-from-camera extrinsic."""
+        if self._dev_tbc is None:
+            self._dev_tbc = (
+                jnp.asarray(np.asarray(self.cfg.imu.R_bc,
+                                       np.float32).reshape(3, 3)),
+                jnp.asarray(np.asarray(self.cfg.imu.t_bc, np.float32)))
+        return self._dev_tbc
+
     def _setup_place_rec(self, voc):
         from ..mapping.loop_closing import LoopCloser, MapMerger
         from .reloc import make_place_recognition
@@ -494,8 +505,12 @@ class Tracker:
         a = jnp.asarray(acc, dtype=jnp.float32)
         d = jnp.asarray(dts, dtype=jnp.float32)
         v = jnp.ones(len(dts), bool)
-        self._pre_frame = imu_mod.integrate(self._pre_frame, g, a, d, v, sg, sa)
-        self._pre_kf = imu_mod.integrate(self._pre_kf, g, a, d, v, sg, sa)
+        wg = jnp.float32(cfgi.walk_gyro)
+        wa = jnp.float32(cfgi.walk_acc)
+        self._pre_frame = imu_mod.integrate(self._pre_frame, g, a, d, v,
+                                            sg, sa, wg, wa)
+        self._pre_kf = imu_mod.integrate(self._pre_kf, g, a, d, v,
+                                         sg, sa, wg, wa)
 
     # -- per-frame entry ----------------------------------------------------
     def process_frame(self, img, ts: float) -> dict:
@@ -909,11 +924,12 @@ class Tracker:
         if self.cfg.use_imu and self.imu_ready and self._pre_frame is not None \
                 and float(self._pre_frame.dt) > 0:
             bg, ba = self.imu_bias
-            Rwb, p_w = lie.se3_inverse(R_last, t_last)
-            R2, v2, p2 = imu_mod.predict_state(Rwb, self.frame_state_v, p_w,
+            R_bc, t_bc = self._tbc
+            Rwb, p_b = imu_mod.body_from_cam(R_last, t_last, R_bc, t_bc)
+            R2, v2, p2 = imu_mod.predict_state(Rwb, self.frame_state_v, p_b,
                                                self._pre_frame, bg, ba)
-            Rcw = jnp.swapaxes(R2, -1, -2)
-            return Rcw, -Rcw @ p2, v2
+            Rcw, tcw = imu_mod.cam_from_body(R2, p2, R_bc, t_bc)
+            return Rcw, tcw, v2
         Rv, tv = self.vel
         R0, t0 = lie.se3_compose(Rv, tv, R_last, t_last)
         return R0, t0, self.frame_state_v
@@ -941,9 +957,11 @@ class Tracker:
                 and n_inliers >= cfg.tracker.min_inliers:
             bg, ba = self.imu_bias
             cur = InertialFrameState(R=R, t=t, v=v_pred, bg=bg, ba=ba)
+            R_bc, t_bc = self._tbc
             st, inl_m, n2 = pose_inertial_optimization(
                 cur, self.anchor_state, self._pre_frame, obs, self.cam_params,
-                cam_model=cfg.camera.model_id, bf=float(cfg.bf))
+                cam_model=cfg.camera.model_id, bf=float(cfg.bf),
+                R_bc=R_bc, t_bc=t_bc)
             R, t = st.R, st.t
             self.frame_state_v = st.v
             self.imu_bias = (st.bg, st.ba)
@@ -1113,11 +1131,13 @@ class Tracker:
         close_depth = float(cfg.stereo.depth_factor * cfg.stereo.baseline)
         if self.sensor == "mono":
             close_depth = -1.0  # no depth spawning
+        bg_, ba_ = self.imu_bias
         self.map, kf_id = _insert_kf_and_spawn(
             self.map, R, t, jnp.float32(ts), feats.xy[0], feats.level[0],
             feats.desc[0], feats.valid[0], u_r, depth, mp_feat,
             self.cam_params, close_depth, cam_model=cfg.camera.model_id,
-            n_levels=cfg.orb.n_levels)
+            n_levels=cfg.orb.n_levels, v=jnp.asarray(self.frame_state_v),
+            bg=jnp.asarray(bg_), ba=jnp.asarray(ba_))
         self.last_kf_frame = self.frame_id
         self.last_kf_id = int(kf_id)
         self.ref_kf_matches = max(n_inliers, 1)
@@ -1311,12 +1331,18 @@ class Tracker:
             pres.append(imu_mod.empty_preintegrated())
         pres_stack = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *pres)
         bg, ba = self.imu_bias
+        R_bc, t_bc = self._tbc
+        idsd = jnp.asarray(ids)
+        idsc = jnp.clip(idsd, 0, self.map.max_kf - 1)
+        v_init = self.map.kf_v[idsc]
+        v_init_valid = jnp.linalg.norm(v_init, axis=-1) > 1e-9
         res = local_inertial_ba(
-            self.map, jnp.asarray(ids), jnp.asarray(fixed), pres_stack,
+            self.map, idsd, jnp.asarray(fixed), pres_stack,
             jnp.asarray(pre_valid), bg, ba, self.cam_params, float(cfg.bf),
             cam_model=cfg.camera.model_id,
             n_iters=n_iters if n_iters is not None else cfg.ba.n_iters,
-            n_levels=cfg.orb.n_levels)
+            n_levels=cfg.orb.n_levels, R_bc=R_bc, t_bc=t_bc,
+            v_init=v_init, v_init_valid=v_init_valid)
         self.map = apply_vi_window(self.map, jnp.asarray(ids),
                                    jnp.asarray(fixed), res)
         self.imu_bias = (res.bg, res.ba)
@@ -1373,10 +1399,12 @@ class Tracker:
             return
         pres = self._kf_preints[-(len(k_ids) - 1):]
         pres_stack = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *pres)
+        R_bc, t_bc = self._tbc
         R_wg, bg, ba, s, v = inertial_init_optimization(
             m.kf_R[jnp.asarray(k_ids)], m.kf_t[jnp.asarray(k_ids)],
             jnp.ones(len(k_ids), bool), pres_stack,
-            jnp.ones(len(k_ids) - 1, bool), opt_scale=True)
+            jnp.ones(len(k_ids) - 1, bool), opt_scale=True,
+            R_bc=R_bc, t_bc=t_bc)
         s_f = float(s)
         if not (0.5 < s_f < 2.0):   # sanity gate
             return
@@ -1447,10 +1475,12 @@ class Tracker:
         pres = self._kf_preints[-(len(k_ids) - 1):]
         pres_stack = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *pres)
         opt_scale = self.sensor == "mono"
+        R_bc, t_bc = self._tbc
         R_wg, bg, ba, s, v = inertial_init_optimization(
             m.kf_R[jnp.asarray(k_ids)], m.kf_t[jnp.asarray(k_ids)],
             jnp.ones(len(k_ids), bool), pres_stack,
-            jnp.ones(len(k_ids) - 1, bool), opt_scale=opt_scale)
+            jnp.ones(len(k_ids) - 1, bool), opt_scale=opt_scale,
+            R_bc=R_bc, t_bc=t_bc)
         s_f = float(s)
         if opt_scale and (s_f < 0.1):   # scale sanity abort (LocalMapping.cc)
             return
