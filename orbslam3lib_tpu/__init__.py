@@ -21,7 +21,11 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent compilation cache: first compiles through the TPU tunnel are
 # slow (20-40 s/graph); cache them on disk so tests/bench re-runs are warm.
-if _os.environ.get("ORBSLAM3_TPU_NO_COMPILE_CACHE") != "1":
+# CPU is EXCLUDED: XLA:CPU AOT cache entries record host machine features
+# and reload with mismatches (observed "+prefer-no-scatter not supported"
+# warnings followed by wrong numerics under pytest).
+if _os.environ.get("ORBSLAM3_TPU_NO_COMPILE_CACHE") != "1" \
+        and _os.environ.get("JAX_PLATFORMS", "") != "cpu":
     try:
         _cache = _os.path.join(_os.path.dirname(__file__), _os.pardir, ".jax_cache")
         _jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache))

@@ -162,7 +162,10 @@ def triangulate_pair(m: ms.MapState, kf_a, kf_b, cam_params,
             * step01(jnp.abs(kf_a - kf_b).astype(jnp.float32)) \
             * m.kf_valid[b].astype(jnp.float32)
 
-    want = ok > 0.5
+    # rotation-consistency histogram (ORBmatcher.cc:36-38, applied by
+    # SearchForTriangulation's CheckOrientation)
+    from ..tracking.matching import rotation_consistency
+    want = rotation_consistency(m.kf_angle[a], m.kf_angle[b][best], ok > 0.5)
     normal = (p_w - ca) / jnp.maximum(dist_a[:, None], 1e-9)
     max_dist = dist_a * sig_a
     min_dist = max_dist / sf[n_levels - 1]

@@ -86,6 +86,7 @@ def merge_into(dst: ms.MapState, src: ms.MapState) -> ms.MapState:
         kf_ts=sc(dst.kf_ts, src.kf_ts, kf_tgt, kf_ok),
         kf_xy=sc(dst.kf_xy, src.kf_xy, kf_tgt, kf_ok),
         kf_level=sc(dst.kf_level, src.kf_level, kf_tgt, kf_ok),
+        kf_angle=sc(dst.kf_angle, src.kf_angle, kf_tgt, kf_ok),
         kf_desc=sc(dst.kf_desc, src.kf_desc, kf_tgt, kf_ok),
         kf_feat_valid=sc(dst.kf_feat_valid, src.kf_feat_valid, kf_tgt, kf_ok),
         kf_mp=dst.kf_mp.at[kf_tgt].set(

@@ -40,6 +40,7 @@ class MapState(NamedTuple):
     kf_ts: jnp.ndarray       # (K,) float64-as-f32 timestamps
     kf_xy: jnp.ndarray       # (K, F, 2) level-0 keypoint coords
     kf_level: jnp.ndarray    # (K, F) int32
+    kf_angle: jnp.ndarray    # (K, F) float32 keypoint orientations (rad)
     kf_desc: jnp.ndarray     # (K, F, 256) int8 bits
     kf_feat_valid: jnp.ndarray  # (K, F) bool
     kf_mp: jnp.ndarray       # (K, F) int32 landmark id or -1
@@ -83,6 +84,7 @@ def empty_map(max_kf: int = MAX_KF, max_mp: int = MAX_MP, n_feat: int = 512) -> 
         kf_ts=jnp.zeros(max_kf, f32),
         kf_xy=jnp.zeros((max_kf, n_feat, 2), f32),
         kf_level=jnp.zeros((max_kf, n_feat), i32),
+        kf_angle=jnp.zeros((max_kf, n_feat), f32),
         kf_desc=jnp.zeros((max_kf, n_feat, 256), jnp.int8),
         kf_feat_valid=jnp.zeros((max_kf, n_feat), bool),
         kf_mp=jnp.full((max_kf, n_feat), -1, i32),
@@ -107,7 +109,7 @@ def empty_map(max_kf: int = MAX_KF, max_mp: int = MAX_MP, n_feat: int = 512) -> 
 @jax.jit
 def insert_keyframe(m: MapState, R, t, ts, xy, level, desc, feat_valid,
                     mp_assoc, depth, v=None, bg=None,
-                    ba=None) -> tuple[MapState, jnp.ndarray]:
+                    ba=None, angle=None) -> tuple[MapState, jnp.ndarray]:
     """Append a keyframe at slot n_kf and register its observations.
 
     mp_assoc (F,): landmark id already matched to each feature (-1 if none).
@@ -122,6 +124,8 @@ def insert_keyframe(m: MapState, R, t, ts, xy, level, desc, feat_valid,
         bg = jnp.zeros(3, jnp.float32)
     if ba is None:
         ba = jnp.zeros(3, jnp.float32)
+    if angle is None:
+        angle = jnp.zeros(m.n_feat, jnp.float32)
     k = m.n_kf
     ok = k < m.max_kf
     kc = jnp.minimum(k, m.max_kf - 1)
@@ -134,6 +138,7 @@ def insert_keyframe(m: MapState, R, t, ts, xy, level, desc, feat_valid,
             kf_ts=m.kf_ts.at[kc].set(ts),
             kf_xy=m.kf_xy.at[kc].set(xy),
             kf_level=m.kf_level.at[kc].set(level),
+            kf_angle=m.kf_angle.at[kc].set(angle),
             kf_desc=m.kf_desc.at[kc].set(desc),
             kf_feat_valid=m.kf_feat_valid.at[kc].set(feat_valid),
             kf_mp=m.kf_mp.at[kc].set(jnp.where(feat_valid, mp_assoc, -1)),

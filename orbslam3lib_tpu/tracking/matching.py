@@ -317,6 +317,50 @@ def refine_stereo_sad(canvas_l, canvas_r, xy_l, level_l, valid_l, u_r, depth,
     return u_out, d_out
 
 
+HISTO_LENGTH = 30   # rotation-consistency bins (ORBmatcher.cc:38)
+
+
+@jax.jit
+def rotation_consistency(angle_a, angle_b_matched, ok):
+    """ORBmatcher's rotation-consistency histogram (ComputeThreeMaxima,
+    used by every CheckOrientation search, ORBmatcher.cc:36-38): bin the
+    per-match orientation difference into HISTO_LENGTH bins and keep only
+    matches in the three strongest bins (ties to the global motion's
+    rotation). angle_a (N,), angle_b_matched (N,) = the matched partner's
+    angle per row; ok (N,) bool. Returns the filtered ok mask."""
+    two_pi = 2.0 * np.pi
+    rot = jnp.mod(angle_a - angle_b_matched, two_pi)
+    b = jnp.clip((rot * (HISTO_LENGTH / two_pi)).astype(jnp.int32),
+                 0, HISTO_LENGTH - 1)
+    hist = jnp.zeros(HISTO_LENGTH, jnp.float32).at[
+        jnp.where(ok, b, HISTO_LENGTH)].add(1.0, mode="drop")
+    top_v, top_i = jax.lax.top_k(hist, 3)
+    # reference drops bins below 0.1x the best bin
+    keep_bin = jnp.zeros(HISTO_LENGTH, bool).at[top_i].set(
+        top_v >= 0.1 * top_v[0])
+    return ok & keep_bin[b]
+
+
+@partial(jax.jit, static_argnames=("window", "th", "ratio"))
+def match_for_initialization(xy_a, desc_a, valid_a, angle_a,
+                             xy_b, desc_b, valid_b, angle_b,
+                             window: float = 100.0, th: float = 50.0,
+                             ratio: float = 0.9):
+    """SearchForInitialization (ORBmatcher.cc:649): descriptor kNN-2 with
+    Lowe ratio, a spatial search window (the reference probes a 100 px
+    grid window, Tracking.cc:2548-2556) and the rotation-consistency
+    histogram. Returns (idx (Na,), ok (Na,) bool)."""
+    d = hamming_matrix(desc_a, desc_b, valid_a, valid_b)
+    d2_spatial = jnp.sum((xy_a[:, None, :] - xy_b[None, :, :]) ** 2, axis=-1)
+    g = step01(window * window - d2_spatial + 1.0)
+    dm = penalize(d, g)
+    from ..ops.matcher import knn2
+    i1, d1, d2 = knn2(dm)
+    ok = valid_a & (d1 <= th) & (d1 <= ratio * d2)
+    ok = rotation_consistency(angle_a, angle_b[jnp.clip(i1, 0, len(angle_b) - 1)], ok)
+    return jnp.where(ok, i1, -1), ok
+
+
 @jax.jit
 def match_descriptors_ratio(desc_a, valid_a, desc_b, valid_b,
                             th: float = TH_LOW, ratio: float = NN_RATIO_DEFAULT):

@@ -88,37 +88,105 @@ def pnp_ransac(p_world, uv, valid, cam_params, cam_model: int = cameras.PINHOLE,
     return Rs[best], ts[best], ok[best], scores[best]
 
 
-@partial(jax.jit, static_argnames=("cam_model", "min_inliers"))
-def relocalize_against_kf(m_mp_pos, m_mp_valid, kf_mp_row, kf_desc, kf_feat_valid,
-                          feat_xy, feat_desc, feat_valid, cam_params,
+@partial(jax.jit, static_argnames=("cam_model", "img_w", "img_h", "n_levels"))
+def relocalize_against_kf(m, kf_id, feat_xy, feat_level, feat_desc,
+                          feat_valid, feat_angle, cam_params,
                           cam_model: int = cameras.PINHOLE,
-                          min_inliers: int = 15):
-    """One relocalization attempt against one candidate keyframe.
-
-    Matches frame descriptors to the candidate KF's landmark-bearing features
-    (SearchByBoW semantics, ratio 0.75), then PnP RANSAC + pose LM.
-    Returns (R, t, n_inliers) — caller gates on n_inliers.
+                          img_w: int = 640, img_h: int = 400,
+                          n_levels: int = 8):
+    """One relocalization attempt against one candidate keyframe, with the
+    reference's full refinement chain (Tracking::Relocalization,
+    Tracking.cc:3670+): SearchByBoW-style matching (ratio 0.75, rotation
+    histogram) -> PnP RANSAC -> pose LM -> projection search over the
+    candidate's map region (radius 10, TH_HIGH) -> re-optimize. Returns
+    (R, t, n_inliers); callers gate at >=50 (the reference's nGood gate).
     """
-    from .matching import match_descriptors_ratio
+    from ..mapping.local_mapping import observed_mp_mask
+    from .matching import (match_descriptors_ratio, rotation_consistency,
+                           search_by_projection)
 
-    F = kf_desc.shape[0]
-    kf_has_mp = (kf_mp_row >= 0) & kf_feat_valid
-    idx, ok = match_descriptors_ratio(feat_desc, feat_valid, kf_desc,
+    k = jnp.clip(kf_id, 0, m.max_kf - 1)
+    F = feat_desc.shape[0]
+    P = m.max_mp
+    kf_has_mp = (m.kf_mp[k] >= 0) & m.kf_feat_valid[k]
+    idx, ok = match_descriptors_ratio(feat_desc, feat_valid, m.kf_desc[k],
                                       kf_has_mp, th=100.0, ratio=0.75)
-    mp_ids = kf_mp_row[jnp.clip(idx, 0, F - 1)]
-    mp_ids_c = jnp.clip(mp_ids, 0, m_mp_pos.shape[0] - 1)
-    good = ok & (mp_ids >= 0) & m_mp_valid[mp_ids_c]
-    p_w = m_mp_pos[mp_ids_c]
+    ok = rotation_consistency(
+        feat_angle, m.kf_angle[k][jnp.clip(idx, 0, F - 1)], ok)
+    mp_ids = m.kf_mp[k][jnp.clip(idx, 0, F - 1)]
+    mp_ids_c = jnp.clip(mp_ids, 0, P - 1)
+    good = ok & (mp_ids >= 0) & m.mp_valid[mp_ids_c]
+    p_w = m.mp_pos[mp_ids_c]
 
     R0, t0, inl, n0 = pnp_ransac(p_w, feat_xy, good, cam_params,
                                  cam_model=cam_model)
     obs = PoseObs(p_world=p_w, uv=feat_xy,
-                  inv_sigma2=jnp.ones(feat_xy.shape[0], jnp.float32),
-                  u_right=jnp.zeros(feat_xy.shape[0], jnp.float32),
-                  is_stereo=jnp.zeros(feat_xy.shape[0], bool),
+                  inv_sigma2=jnp.ones(F, jnp.float32),
+                  u_right=jnp.zeros(F, jnp.float32),
+                  is_stereo=jnp.zeros(F, bool),
                   valid=good & inl)
-    R, t, inl2, n_inl = pose_optimization(R0, t0, obs, cam_params,
-                                          cam_model=cam_model)
+    R1, t1, inl1, n1 = pose_optimization(R0, t0, obs, cam_params,
+                                         cam_model=cam_model)
+
+    # projection-refine loop (Tracking.cc:3744+: SearchByProjection over the
+    # candidate's points with a 10 px window when nGood < 50, then re-opt)
+    cand = observed_mp_mask(m, jnp.asarray([k]).reshape(1))
+    pm = search_by_projection(
+        m.mp_pos, m.mp_desc, cand, m.mp_normal, m.mp_min_dist, m.mp_max_dist,
+        R1, t1, cam_params, feat_xy, feat_level, feat_desc, feat_valid,
+        radius=10.0, cam_model=cam_model, img_w=img_w, img_h=img_h,
+        th_desc=100.0, n_levels=n_levels)
+    matched = pm.mp_feat >= 0
+    tgt = jnp.where(matched, pm.mp_feat, F)
+    feat_mp = jnp.full(F, -1, jnp.int32).at[tgt].set(
+        jnp.arange(P, dtype=jnp.int32), mode="drop")
+    has2 = feat_mp >= 0
+    obs2 = PoseObs(p_world=m.mp_pos[jnp.clip(feat_mp, 0, P - 1)],
+                   uv=feat_xy,
+                   inv_sigma2=jnp.ones(F, jnp.float32),
+                   u_right=jnp.zeros(F, jnp.float32),
+                   is_stereo=jnp.zeros(F, bool),
+                   valid=has2)
+    R2, t2, inl2, n2 = pose_optimization(R1, t1, obs2, cam_params,
+                                         cam_model=cam_model)
+    use2 = n2 > n1
+    R = jnp.where(use2, R2, R1)
+    t = jnp.where(use2, t2, t1)
+    return R, t, jnp.maximum(n1, n2)
+
+
+@partial(jax.jit, static_argnames=("cam_model", "bf"))
+def track_reference_kf(m, kf_id, R0, t0, feat_xy, feat_level, feat_desc,
+                       feat_valid, feat_angle, u_right, depth, cam_params,
+                       cam_model: int = cameras.PINHOLE, bf: float = 0.0,
+                       n_levels: int = 8):
+    """TrackReferenceKeyFrame (Tracking.cc:2778): when motion-model tracking
+    fails, match the frame to the reference keyframe's landmark-bearing
+    features (SearchByBoW semantics: ratio 0.7, TH_LOW, rotation histogram)
+    and pose-optimize seeded at the LAST frame's pose. Returns
+    (R, t, n_inliers)."""
+    from ..mapping.map_ba import inv_sigma2 as _inv_s2
+    from .matching import match_descriptors_ratio, rotation_consistency
+
+    k = jnp.clip(kf_id, 0, m.max_kf - 1)
+    F = feat_desc.shape[0]
+    P = m.max_mp
+    kf_has_mp = (m.kf_mp[k] >= 0) & m.kf_feat_valid[k]
+    idx, ok = match_descriptors_ratio(feat_desc, feat_valid, m.kf_desc[k],
+                                      kf_has_mp, th=50.0, ratio=0.7)
+    ok = rotation_consistency(
+        feat_angle, m.kf_angle[k][jnp.clip(idx, 0, F - 1)], ok)
+    mp_ids = m.kf_mp[k][jnp.clip(idx, 0, F - 1)]
+    mp_ids_c = jnp.clip(mp_ids, 0, P - 1)
+    good = ok & (mp_ids >= 0) & m.mp_valid[mp_ids_c]
+    obs = PoseObs(p_world=m.mp_pos[mp_ids_c],
+                  uv=feat_xy,
+                  inv_sigma2=_inv_s2(feat_level, n_levels),
+                  u_right=jnp.where(depth > 0, u_right, 0.0),
+                  is_stereo=good & (depth > 0),
+                  valid=good)
+    R, t, inl, n_inl = pose_optimization(R0, t0, obs, cam_params,
+                                         cam_model=cam_model, bf=bf)
     return R, t, n_inl
 
 

@@ -208,8 +208,8 @@ def _frame_body(m: ms.MapState, carry, img_pair, threshold, cam_params,
     # per-frame outputs: only what keyframe creation needs (left-eye feature
     # set + stereo depth + landmark association) — lean outputs matter on a
     # tunneled device where result buffers ride the same in-order stream
-    ys = (pack, feats.xy[0], feats.level[0], feats.desc[0], feats.valid[0],
-          u_r, depth, mp_feat)
+    ys = (pack, feats.xy[0], feats.level[0], feats.angle[0], feats.desc[0],
+          feats.valid[0], u_r, depth, mp_feat)
     return carry2, ys
 
 
@@ -261,7 +261,7 @@ def _update_mp_stats(m: ms.MapState, visible, found):
 def _insert_kf_and_spawn(m: ms.MapState, R, t, ts, feat_xy, feat_level,
                          feat_desc, feat_valid, u_right, depth, mp_feat,
                          cam_params, close_depth: float, cam_model: int,
-                         n_levels: int, v=None, bg=None, ba=None):
+                         n_levels: int, v=None, bg=None, ba=None, angle=None):
     """Insert a keyframe; bind tracked landmarks; spawn new close-stereo
     landmarks for unmatched features (CreateNewKeyFrame, Tracking.cc:3277)."""
     F = feat_xy.shape[0]
@@ -272,7 +272,8 @@ def _insert_kf_and_spawn(m: ms.MapState, R, t, ts, feat_xy, feat_level,
     assoc = jnp.full(F, -1, jnp.int32).at[tgt].set(pidx, mode="drop")
 
     m2, kf_id = ms.insert_keyframe(m, R, t, ts, feat_xy, feat_level, feat_desc,
-                                   feat_valid, assoc, depth, v=v, bg=bg, ba=ba)
+                                   feat_valid, assoc, depth, v=v, bg=bg, ba=ba,
+                                   angle=angle)
 
     # spawn stereo points for unmatched features: all closer than the
     # close-depth threshold, topped up with the nearest 100 beyond it
@@ -298,9 +299,9 @@ def _insert_kf_and_spawn(m: ms.MapState, R, t, ts, feat_xy, feat_level,
 
 
 @partial(jax.jit, static_argnames=("cam_model", "n_levels"))
-def _mono_init_map(m: ms.MapState, ts0, ts1, xy0, lvl0, desc0, fv0,
-                   xy1, lvl1, desc1, fv1, match_idx, tri_ok, R21, t21, p3d,
-                   cam_params, cam_model: int, n_levels: int):
+def _mono_init_map(m: ms.MapState, ts0, ts1, xy0, lvl0, desc0, fv0, ang0,
+                   xy1, lvl1, desc1, fv1, ang1, match_idx, tri_ok, R21, t21,
+                   p3d, cam_params, cam_model: int, n_levels: int):
     """Create the initial monocular map from a successful two-view
     reconstruction (CreateInitialMapMonocular, Tracking.cc:2604): two
     keyframes, landmarks at the triangulated points, median-depth
@@ -316,10 +317,10 @@ def _mono_init_map(m: ms.MapState, ts0, ts1, xy0, lvl0, desc0, fv0,
     t0 = jnp.zeros(3, jnp.float32)
     m, kf0 = ms.insert_keyframe(m, R0, t0, ts0, xy0, lvl0, desc0, fv0,
                                 jnp.full(F, -1, jnp.int32),
-                                jnp.zeros(F, jnp.float32))
+                                jnp.zeros(F, jnp.float32), angle=ang0)
     m, kf1 = ms.insert_keyframe(m, R21, t21_n, ts1, xy1, lvl1, desc1, fv1,
                                 jnp.full(F, -1, jnp.int32),
-                                jnp.zeros(F, jnp.float32))
+                                jnp.zeros(F, jnp.float32), angle=ang1)
     # spawn landmarks bound to kf0 slots
     dist = jnp.linalg.norm(p3d_n, axis=-1)
     normal = p3d_n / jnp.maximum(dist[:, None], 1e-9)
@@ -793,7 +794,7 @@ class Tracker:
 
     def _create_keyframe_from_record(self, rec, c, R, t, n_inl):
         ts, fid = rec[0][c], rec[1][c]
-        _, _, _, _, xy0, lvl0, desc0, val0, u_r, depth, mp_feat = rec
+        _, _, _, _, xy0, lvl0, ang0, desc0, val0, u_r, depth, mp_feat = rec
         cfg = self.cfg
         kid = self._nkf
         self.map, _ = _insert_kf_and_spawn(
@@ -801,7 +802,8 @@ class Tracker:
             xy0[c], lvl0[c], desc0[c], val0[c], u_r[c], depth[c],
             mp_feat[c], self.cam_params,
             float(cfg.stereo.depth_factor * cfg.stereo.baseline),
-            cam_model=cfg.camera.model_id, n_levels=cfg.orb.n_levels)
+            cam_model=cfg.camera.model_id, n_levels=cfg.orb.n_levels,
+            angle=ang0[c])
         self._n_kf_host = kid + 1
         self.last_kf_frame = fid
         self.last_kf_id = kid
@@ -850,7 +852,8 @@ class Tracker:
             self.map, R, t, jnp.float32(ts), feats.xy[0], feats.level[0],
             feats.desc[0], feats.valid[0], u_r, depth, mp_feat0,
             self.cam_params, 1e9,
-            cam_model=cfg.camera.model_id, n_levels=cfg.orb.n_levels)
+            cam_model=cfg.camera.model_id, n_levels=cfg.orb.n_levels,
+            angle=feats.angle[0])
         self._post_init(kf_id, int(self.map.n_mp), ts, feats)
         return {"state": OK, "n_inliers": int(self.map.n_mp), "init": True}
 
@@ -860,15 +863,17 @@ class Tracker:
             self._init_frame = None
             return {"state": self.state, "n_inliers": 0}
         cur = (jnp.float32(ts), feats.xy[0], feats.level[0], feats.desc[0],
-               feats.valid[0])
+               feats.valid[0], feats.angle[0])
         if self._init_frame is None:
             self._init_frame = cur
             return {"state": self.state, "n_inliers": 0}
 
-        ts0, xy0, lvl0, desc0, fv0 = self._init_frame
-        idx, ok = matching.match_descriptors_ratio(desc0, fv0, feats.desc[0],
-                                                   feats.valid[0],
-                                                   th=50.0, ratio=0.9)
+        ts0, xy0, lvl0, desc0, fv0, ang0 = self._init_frame
+        # SearchForInitialization: 100 px window + ratio 0.9 + rotation
+        # histogram (ORBmatcher.cc:649, Tracking.cc:2548-2556)
+        idx, ok = matching.match_for_initialization(
+            xy0, desc0, fv0, ang0, feats.xy[0], feats.desc[0],
+            feats.valid[0], feats.angle[0], window=100.0, th=50.0, ratio=0.9)
         if int(jnp.sum(ok)) < 100:   # Tracking.cc:2548: >=100 matches
             self._init_frame = cur
             return {"state": self.state, "n_inliers": 0}
@@ -881,10 +886,10 @@ class Tracker:
             return {"state": self.state, "n_inliers": 0}
 
         self.map, kf1, R, t = _mono_init_map(
-            self.map, ts0, jnp.float32(ts), xy0, lvl0, desc0, fv0,
+            self.map, ts0, jnp.float32(ts), xy0, lvl0, desc0, fv0, ang0,
             feats.xy[0], feats.level[0], feats.desc[0], feats.valid[0],
-            idx, out["tri_ok"] & ok, out["R"], out["t"], out["p3d"],
-            self.cam_params, cam_model=cfg.camera.model_id,
+            feats.angle[0], idx, out["tri_ok"] & ok, out["R"], out["t"],
+            out["p3d"], self.cam_params, cam_model=cfg.camera.model_id,
             n_levels=cfg.orb.n_levels)
         self.pose = (R, t)
         n_mp = int(self.map.n_mp)
@@ -974,6 +979,30 @@ class Tracker:
             self.frame_state_v = (p_w - p_l) / dt_f
 
         min_inl = cfg.tracker.min_inliers
+        if n_inliers < min_inl and self.last_kf_id >= 0:
+            # TrackReferenceKeyFrame fallback (Tracking.cc:2778): re-seed
+            # from the reference KF's landmarks, then re-run the two-stage
+            # local-map track from the recovered pose
+            from .reloc import track_reference_kf
+            R_ref, t_ref, n_ref = track_reference_kf(
+                self.map, jnp.int32(self.last_kf_id), R_last, t_last,
+                feats.xy[0], feats.level[0], feats.desc[0], feats.valid[0],
+                feats.angle[0], u_r, depth, self.cam_params,
+                cam_model=cfg.camera.model_id, bf=float(cfg.bf),
+                n_levels=cfg.orb.n_levels)
+            if int(n_ref) >= min_inl:
+                Verbose.log(f"[tracker] ref-KF fallback ({int(n_ref)} inliers)")
+                R, t, mp_feat, inl, n_inl, visible, obs = _track_two_stage(
+                    self.map, R_ref, t_ref, feats.xy[0], feats.level[0],
+                    feats.desc[0], feats.valid[0], u_r, depth,
+                    self.cam_params, float(cfg.bf),
+                    float(cfg.tracker.match_radius_coarse),
+                    float(cfg.tracker.match_radius_fine),
+                    cam_model=cfg.camera.model_id, img_w=cfg.camera.width,
+                    img_h=cfg.camera.height, n_levels=cfg.orb.n_levels,
+                    pose_rounds=cfg.tracker.pose_rounds,
+                    pose_iters=cfg.tracker.pose_iters)
+                n_inliers = int(n_inl)
         if n_inliers < min_inl:
             return self._handle_loss(feats, ts)
 
@@ -1019,12 +1048,14 @@ class Tracker:
                 if k < 0:
                     continue
                 R, t, n_inl = relocalize_against_kf(
-                    self.map.mp_pos, self.map.mp_valid, self.map.kf_mp[k],
-                    self.map.kf_desc[k], self.map.kf_feat_valid[k],
-                    feats.xy[0], feats.desc[0], feats.valid[0],
-                    self.cam_params, cam_model=cfg.camera.model_id)
+                    self.map, jnp.int32(k),
+                    feats.xy[0], feats.level[0], feats.desc[0],
+                    feats.valid[0], feats.angle[0],
+                    self.cam_params, cam_model=cfg.camera.model_id,
+                    img_w=cfg.camera.width, img_h=cfg.camera.height,
+                    n_levels=cfg.orb.n_levels)
                 n_rel = int(n_inl)
-                if n_rel >= 40:   # reference: nGood >= 50 post-refine
+                if n_rel >= 50:   # reference: nGood >= 50 post-refine
                     self.pose = (R, t)
                     self.vel = (jnp.eye(3, dtype=jnp.float32),
                                 jnp.zeros(3, jnp.float32))
@@ -1137,7 +1168,7 @@ class Tracker:
             feats.desc[0], feats.valid[0], u_r, depth, mp_feat,
             self.cam_params, close_depth, cam_model=cfg.camera.model_id,
             n_levels=cfg.orb.n_levels, v=jnp.asarray(self.frame_state_v),
-            bg=jnp.asarray(bg_), ba=jnp.asarray(ba_))
+            bg=jnp.asarray(bg_), ba=jnp.asarray(ba_), angle=feats.angle[0])
         self.last_kf_frame = self.frame_id
         self.last_kf_id = int(kf_id)
         self.ref_kf_matches = max(n_inliers, 1)
