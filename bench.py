@@ -49,14 +49,29 @@ def _render_frames(n_frames):
     return imgs, ts.astype(np.float64), rig
 
 
+def _render_params_key():
+    """Hash of everything that shapes the rendered frames; a cache rendered
+    under different parameters must be invalidated (stale frames would
+    silently disagree with the StereoRig handed to the tracker)."""
+    import dataclasses
+    import hashlib
+    from orbslam3lib_tpu.io.synthetic import CorridorWorld, StereoRig
+    parts = [repr(dataclasses.asdict(StereoRig())),
+             repr(dataclasses.asdict(CorridorWorld(z1=120.0))),
+             f"dt={DT!r} speed=0.6 seed=0"]
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()
+
+
 def _load_frames(n_frames):
+    key = _render_params_key()
     if os.path.exists(CACHE):
         d = np.load(CACHE)
-        if d["imgs"].shape[0] >= n_frames:
+        if (d["imgs"].shape[0] >= n_frames
+                and "params_key" in d and str(d["params_key"]) == key):
             from orbslam3lib_tpu.io.synthetic import StereoRig
             return d["imgs"][:n_frames], d["ts"][:n_frames], StereoRig()
     imgs, ts, rig = _render_frames(n_frames)
-    np.savez_compressed(CACHE, imgs=imgs, ts=ts)
+    np.savez_compressed(CACHE, imgs=imgs, ts=ts, params_key=key)
     return imgs, ts, rig
 
 

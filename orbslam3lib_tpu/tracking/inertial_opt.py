@@ -77,8 +77,11 @@ def pose_inertial_optimization(cur: InertialFrameState,
     delta = jnp.where(obs.is_stereo, DELTA_STEREO, DELTA_MONO)
     # bias random-walk information from the accumulated walk covariance
     # (EdgeGyroRW/EdgeAccRW with InfoG/InfoA = NgaWalk^-1, Optimizer.cc:4918)
-    info_bg = jnp.linalg.inv(pre.cov_bias[:3, :3] + 1e-10 * jnp.eye(3))
-    info_ba = jnp.linalg.inv(pre.cov_bias[3:, 3:] + 1e-10 * jnp.eye(3))
+    # floor the regularizer at the old fixed priors (1e4 gyro / 1e2 acc):
+    # a preintegration built without walk densities (cov_bias == 0) must
+    # keep a sane bias prior, not a ~1e10 weight that freezes the bias
+    info_bg = jnp.linalg.inv(pre.cov_bias[:3, :3] + 1e-4 * jnp.eye(3))
+    info_ba = jnp.linalg.inv(pre.cov_bias[3:, 3:] + 1e-2 * jnp.eye(3))
     Lbg = jnp.linalg.cholesky(info_bg)
     Lba = jnp.linalg.cholesky(info_ba)
 

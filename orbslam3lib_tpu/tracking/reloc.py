@@ -155,7 +155,7 @@ def relocalize_against_kf(m, kf_id, feat_xy, feat_level, feat_desc,
     return R, t, jnp.maximum(n1, n2)
 
 
-@partial(jax.jit, static_argnames=("cam_model", "bf"))
+@partial(jax.jit, static_argnames=("cam_model", "bf", "n_levels"))
 def track_reference_kf(m, kf_id, R0, t0, feat_xy, feat_level, feat_desc,
                        feat_valid, feat_angle, u_right, depth, cam_params,
                        cam_model: int = cameras.PINHOLE, bf: float = 0.0,

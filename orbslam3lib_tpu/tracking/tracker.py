@@ -268,7 +268,9 @@ def _insert_kf_and_spawn(m: ms.MapState, R, t, ts, feat_xy, feat_level,
     # invert mp_feat (P,) -> per-feature landmark assoc (F,); unmatched
     # landmarks scatter to the out-of-bounds slot F and are dropped
     pidx = jnp.arange(m.max_mp, dtype=jnp.int32)
-    tgt = jnp.where(mp_feat >= 0, mp_feat, F)
+    # mask against the CURRENT map: in pipelined mode mp_feat was computed
+    # at dispatch time, so landmarks culled since then must not be re-bound
+    tgt = jnp.where((mp_feat >= 0) & m.mp_valid, mp_feat, F)
     assoc = jnp.full(F, -1, jnp.int32).at[tgt].set(pidx, mode="drop")
 
     m2, kf_id = ms.insert_keyframe(m, R, t, ts, feat_xy, feat_level, feat_desc,
@@ -720,12 +722,29 @@ class Tracker:
             # lagged loop-closing probes first (they predate the burst)
             for (kid, _), pv in zip(probes, probe_vals):
                 n_before = self.loop_closer.n_loops
+                old_R = np.asarray(self.map.kf_R[kid], np.float64)
+                old_t = np.asarray(self.map.kf_t[kid], np.float64)
                 self.map = self.loop_closer.on_probe_result(
                     self.map, kid, pv, self.cam_params)
                 if self.loop_closer.n_loops > n_before:
                     self.stats["n_loops"] += 1
                     self._chain = None  # poses moved: restart from map pose
                     self.pose = (self.map.kf_R[kid], self.map.kf_t[kid])
+                    # compose the correction onto the burst's not-yet-consumed
+                    # poses (CorrectLoop's mlRelativeFramePoses treatment,
+                    # LoopClosing.cc:969+): the packs were tracked against the
+                    # pre-correction world, so right-multiply each by
+                    # T_delta = T_old(kid)^-1 T_new(kid) (rigid approximation
+                    # of the local Sim3)
+                    new_R = np.asarray(self.map.kf_R[kid], np.float64)
+                    new_t = np.asarray(self.map.kf_t[kid], np.float64)
+                    dR = old_R.T @ new_R
+                    dt = old_R.T @ (new_t - old_t)
+                    for row_v in pack_vals:
+                        Rf = row_v[4:13].reshape(3, 3).astype(np.float64)
+                        tf = row_v[13:16].astype(np.float64)
+                        row_v[4:13] = (Rf @ dR).reshape(-1)
+                        row_v[13:16] = Rf @ dt + tf
             row = 0
             lost = False
             for rec in recs:

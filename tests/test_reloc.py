@@ -99,3 +99,77 @@ class TestPlaceRecognition:
         q = perturb_desc(scenes[2], 10)
         ids, scores = pr.query(jnp.asarray(q), jnp.ones(128, bool), n_best=2)
         assert int(ids[0]) == 2
+
+
+class TestTrackReferenceKF:
+    """Direct coverage of the TrackReferenceKeyFrame fallback
+    (Tracking.cc:2778) — it must run under jit with n_levels static and
+    recover a pose from descriptor matches against the reference KF."""
+
+    def _build_map_and_frame(self):
+        import orbslam3lib_tpu.models.map_state as ms
+        from orbslam3lib_tpu.ops.pattern import BIT_PATTERN_31  # noqa: F401
+
+        F, n = 128, 100
+        p_w = RNG.uniform([-3, -2, 4], [3, 2, 12], size=(n, 3)).astype(np.float32)
+        desc = RNG.integers(0, 2, size=(F, 256)).astype(np.int8)
+        # KF0 at identity observes the n landmarks in its first n slots
+        uv0 = np.asarray(cameras.pinhole_project(CAM, jnp.asarray(p_w)))
+        xy = np.zeros((F, 2), np.float32)
+        xy[:n] = uv0
+        valid = np.zeros(F, bool)
+        valid[:n] = True
+        m = ms.empty_map(max_kf=8, max_mp=512, n_feat=F)
+        m, kf_id = ms.insert_keyframe(
+            m, jnp.eye(3), jnp.zeros(3), 0.0, jnp.asarray(xy),
+            jnp.zeros(F, jnp.int32), jnp.asarray(desc), jnp.asarray(valid),
+            jnp.full(F, -1, jnp.int32), jnp.zeros(F, jnp.float32))
+        want = jnp.asarray(valid)
+        pad = np.zeros((F, 3), np.float32)
+        pad[:n] = p_w
+        normal = np.zeros((F, 3), np.float32)
+        normal[:, 2] = -1.0
+        m = ms.spawn_mappoints(
+            m, kf_id, jnp.asarray(pad), jnp.asarray(desc), jnp.asarray(normal),
+            jnp.full(F, 0.1, jnp.float32), jnp.full(F, 100.0, jnp.float32),
+            want, jnp.arange(F))
+        # current frame: same landmarks viewed from a translated pose
+        xi = np.array([0.01, -0.02, 0.015, 0.15, -0.1, 0.2], np.float32)
+        R_f, t_f = lie.se3_exp(jnp.asarray(xi))
+        p_c = np.asarray(lie.se3_apply(R_f, t_f, jnp.asarray(p_w)))
+        uv_f = np.asarray(cameras.pinhole_project(CAM, jnp.asarray(p_c)))
+        fxy = np.zeros((F, 2), np.float32)
+        fxy[:n] = uv_f + RNG.normal(0, 0.3, uv_f.shape).astype(np.float32)
+        return m, kf_id, R_f, t_f, fxy, desc, valid
+
+    def test_recovers_pose_from_ref_kf(self):
+        from orbslam3lib_tpu.tracking.reloc import track_reference_kf
+        m, kf_id, R_f, t_f, fxy, desc, valid = self._build_map_and_frame()
+        F = fxy.shape[0]
+        # seed at a WRONG pose (motion model failed): identity
+        R, t, n_inl = track_reference_kf(
+            m, jnp.int32(int(kf_id)), jnp.eye(3), jnp.zeros(3),
+            jnp.asarray(fxy), jnp.zeros(F, jnp.int32), jnp.asarray(desc),
+            jnp.asarray(valid), jnp.zeros(F, jnp.float32),
+            jnp.zeros(F, jnp.float32), jnp.zeros(F, jnp.float32), CAM,
+            cam_model=cameras.PINHOLE, bf=0.0, n_levels=8)
+        assert int(n_inl) >= 50, int(n_inl)
+        dR = np.asarray(R).T @ np.asarray(R_f)
+        ang = np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))
+        assert ang < 0.01, ang
+        assert np.linalg.norm(np.asarray(t) - np.asarray(t_f)) < 0.05
+
+    def test_jits_with_traced_kf_id(self):
+        """n_levels is static; kf_id and poses are traced — the call must not
+        raise TracerIntegerConversionError (the round-2 crash)."""
+        from orbslam3lib_tpu.tracking.reloc import track_reference_kf
+        m, kf_id, R_f, t_f, fxy, desc, valid = self._build_map_and_frame()
+        F = fxy.shape[0]
+        for nl in (4, 8):   # two distinct static signatures both compile
+            R, t, n_inl = track_reference_kf(
+                m, jnp.int32(int(kf_id)), jnp.eye(3), jnp.zeros(3),
+                jnp.asarray(fxy), jnp.zeros(F, jnp.int32), jnp.asarray(desc),
+                jnp.asarray(valid), jnp.zeros(F, jnp.float32),
+                jnp.zeros(F, jnp.float32), jnp.zeros(F, jnp.float32), CAM,
+                cam_model=cameras.PINHOLE, bf=0.0, n_levels=nl)
+            assert np.isfinite(np.asarray(t)).all()
