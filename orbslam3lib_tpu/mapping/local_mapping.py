@@ -271,4 +271,9 @@ def cull_keyframes(m: ms.MapState, protect_ids) -> ms.MapState:
     do = jnp.any(kill)
     kf_valid = m.kf_valid.at[first_kill].set(
         jnp.where(do, False, m.kf_valid[first_kill]))
-    return m._replace(kf_valid=kf_valid)
+    # spanning-tree repair (KeyFrame::SetBadFlag, KeyFrame.cc): children of
+    # the culled keyframe are re-parented to its own parent — exact because
+    # at most one keyframe dies per call
+    kf_parent = jnp.where(do & (m.kf_parent == first_kill),
+                          m.kf_parent[first_kill], m.kf_parent)
+    return m._replace(kf_valid=kf_valid, kf_parent=kf_parent)

@@ -184,25 +184,40 @@ def reconstruct_two_views(uv1, uv2, valid, cam_params, n_hyp: int = 200,
         ok = (inl & (z1 > 0.01) & (z2 > 0.01) & (cosp < 0.99998)
               & (e1 < 4.0 * sigma * sigma * 5.991)
               & (e2 < 4.0 * sigma * sigma * 5.991))
-        return jnp.sum(ok.astype(jnp.int32)), p3d, ok
+        n_ok = jnp.sum(ok.astype(jnp.int32))
+        # parallax statistic (CheckRT, TwoViewReconstruction.cc): cos of the
+        # 50th-largest-parallax inlier (sorted ascending cos = descending
+        # parallax would be wrong way: reference sorts cosParallax ascending
+        # and reads index min(50, size-1), i.e. the 50th SMALLEST cos =
+        # 50th LARGEST parallax)
+        cosp_m = jnp.where(ok, cosp, 1.0)
+        cosp_sorted = jnp.sort(cosp_m)
+        idx50 = jnp.clip(jnp.minimum(jnp.int32(50), n_ok) - 1, 0, N - 1)
+        return n_ok, p3d, ok, cosp_sorted[idx50]
 
     cands = [(R1, tu), (R1, -tu), (R2, tu), (R2, -tu)]
     counts = []
     p3ds = []
     oks = []
+    cos50s = []
     for R21, t21 in cands:
-        c, p, o = check(R21, t21)
+        c, p, o, c50 = check(R21, t21)
         counts.append(c)
         p3ds.append(p)
         oks.append(o)
+        cos50s.append(c50)
     counts = jnp.stack(counts)
     best = jnp.argmax(counts)
     n_good = counts[best]
     n_valid = jnp.sum(valid.astype(jnp.int32))
-    # reference acceptance: clear winner with enough points and parallax
+    # reference acceptance (ReconstructF, TwoViewReconstruction.cc): clear
+    # winner with enough triangulated points AND >= minParallax (1 deg) —
+    # without the parallax gate a one-frame forward-motion baseline passes
+    # and seeds a map whose translation direction is unconstrained
     second = jnp.sort(counts)[-2]
+    parallax_ok = jnp.stack(cos50s)[best] < 0.99985  # cos(1 deg)
     success = ((n_good > 0.7 * jnp.maximum(n_valid, 1)) |
-               ((n_good > 50) & (second < 0.75 * n_good)))
+               ((n_good > 50) & (second < 0.75 * n_good))) & parallax_ok
     Rb = jnp.stack([c[0] for c in cands])[best]
     tb = jnp.stack([c[1] for c in cands])[best]
     p3d = jnp.stack(p3ds)[best]

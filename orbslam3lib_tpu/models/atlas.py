@@ -73,6 +73,9 @@ def merge_into(dst: ms.MapState, src: ms.MapState) -> ms.MapState:
     kf_first_remap = jnp.where(
         src.mp_first_kf >= 0,
         kf_off + kf_rank[jnp.clip(src.mp_first_kf, 0, K - 1)], -1)
+    kf_parent_remap = jnp.where(
+        src.kf_parent >= 0,
+        kf_off + kf_rank[jnp.clip(src.kf_parent, 0, K - 1)], -1)
 
     def sc(dst_arr, src_arr, tgt, ok):
         vals = jnp.where(ok.reshape(ok.shape + (1,) * (src_arr.ndim - 1)),
@@ -95,6 +98,8 @@ def merge_into(dst: ms.MapState, src: ms.MapState) -> ms.MapState:
         kf_v=sc(dst.kf_v, src.kf_v, kf_tgt, kf_ok),
         kf_bg=sc(dst.kf_bg, src.kf_bg, kf_tgt, kf_ok),
         kf_ba=sc(dst.kf_ba, src.kf_ba, kf_tgt, kf_ok),
+        kf_parent=dst.kf_parent.at[kf_tgt].set(
+            jnp.where(kf_ok, kf_parent_remap, -1), mode="drop"),
         n_kf=dst.n_kf + jnp.sum(kf_ok.astype(jnp.int32)),
         mp_pos=sc(dst.mp_pos, src.mp_pos, mp_tgt, mp_ok),
         mp_valid=dst.mp_valid.at[mp_tgt].set(mp_ok, mode="drop"),

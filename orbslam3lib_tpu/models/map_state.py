@@ -49,6 +49,9 @@ class MapState(NamedTuple):
     kf_v: jnp.ndarray        # (K, 3) world velocity of the body frame
     kf_bg: jnp.ndarray       # (K, 3) gyro bias
     kf_ba: jnp.ndarray       # (K, 3) accel bias
+    # spanning tree (KeyFrame.h:322 mpParent): strongest-covisibility
+    # predecessor at insertion; -1 = root. Feeds the essential graph.
+    kf_parent: jnp.ndarray   # (K,) int32
     n_kf: jnp.ndarray        # () int32
     # --- landmarks ---
     mp_pos: jnp.ndarray      # (P, 3)
@@ -92,6 +95,7 @@ def empty_map(max_kf: int = MAX_KF, max_mp: int = MAX_MP, n_feat: int = 512) -> 
         kf_v=jnp.zeros((max_kf, 3), f32),
         kf_bg=jnp.zeros((max_kf, 3), f32),
         kf_ba=jnp.zeros((max_kf, 3), f32),
+        kf_parent=jnp.full(max_kf, -1, i32),
         n_kf=jnp.zeros((), i32),
         mp_pos=jnp.zeros((max_mp, 3), f32),
         mp_valid=jnp.zeros(max_mp, bool),
@@ -130,6 +134,18 @@ def insert_keyframe(m: MapState, R, t, ts, xy, level, desc, feat_valid,
     ok = k < m.max_kf
     kc = jnp.minimum(k, m.max_kf - 1)
 
+    # spanning-tree parent (KeyFrame::UpdateConnections -> ChangeParent,
+    # KeyFrame.cc): the existing keyframe sharing the most landmark
+    # observations with this one; -1 for the map's first keyframe
+    assoc_eff = jnp.where(feat_valid, mp_assoc, -1)
+    obs_mask = jnp.zeros(m.max_mp + 1, jnp.float32).at[
+        jnp.where(assoc_eff >= 0, assoc_eff, m.max_mp)].set(
+        1.0, mode="drop")[:m.max_mp]
+    w = observation_matrix(m) @ obs_mask            # (K,) shared counts
+    w = w * m.kf_valid * (jnp.arange(m.max_kf) < k)
+    parent = jnp.where(jnp.max(w) > 0,
+                       jnp.argmax(w).astype(jnp.int32), -1)
+
     def write(m):
         return m._replace(
             kf_R=m.kf_R.at[kc].set(R),
@@ -146,6 +162,7 @@ def insert_keyframe(m: MapState, R, t, ts, xy, level, desc, feat_valid,
             kf_v=m.kf_v.at[kc].set(v),
             kf_bg=m.kf_bg.at[kc].set(bg),
             kf_ba=m.kf_ba.at[kc].set(ba),
+            kf_parent=m.kf_parent.at[kc].set(parent),
             n_kf=k + 1,
         )
 
@@ -215,3 +232,100 @@ def covisibility(m: MapState) -> jnp.ndarray:
 def mp_observation_count(m: MapState) -> jnp.ndarray:
     """(P,) number of keyframes observing each landmark."""
     return jnp.sum(observation_matrix(m), axis=0).astype(jnp.int32)
+
+
+@jax.jit
+def compact_map(m: MapState):
+    """Recycle culled keyframe/landmark slots by stable compaction.
+
+    The reference never reuses slots (its maps grow unbounded on the heap,
+    KeyFrame/MapPoint objects freed by SetBadFlag); a fixed-capacity tensor
+    map must reclaim them or keyframe insertion stops at max_kf. Compaction
+    (vs a free-list) preserves the id==temporal-order invariant that the
+    essential-graph chain, covisibility windows and VI gap bookkeeping rely
+    on: valid keyframes/landmarks slide down to the low slots in their
+    original order; every cross-reference (kf_mp) is rewritten through the
+    landmark permutation.
+
+    Returns (new_map, kf_new (K,) old->new kf id or -1,
+    mp_new (P,) old->new landmark id or -1) so host-side bookkeeping
+    (last_kf_id, BoW database rows, loop edges) can be remapped.
+    """
+    K, P = m.max_kf, m.max_mp
+    kf_rank = jnp.cumsum(m.kf_valid.astype(jnp.int32)) - 1
+    kf_new = jnp.where(m.kf_valid, kf_rank, -1)          # old -> new
+    n_kf2 = jnp.sum(m.kf_valid.astype(jnp.int32))
+    kf_old = jnp.zeros(K, jnp.int32).at[
+        jnp.where(m.kf_valid, kf_rank, K)].set(
+        jnp.arange(K, dtype=jnp.int32), mode="drop")     # new -> old
+
+    # landmarks must be observed by >=1 valid KF to survive compaction
+    obs_alive = jnp.zeros(P + 1, bool).at[
+        jnp.where((m.kf_mp >= 0) & m.kf_feat_valid & m.kf_valid[:, None],
+                  m.kf_mp, P).reshape(-1)].set(True, mode="drop")[:P]
+    mp_live = m.mp_valid & obs_alive
+    mp_rank = jnp.cumsum(mp_live.astype(jnp.int32)) - 1
+    mp_new = jnp.where(mp_live, mp_rank, -1)
+    n_mp2 = jnp.sum(mp_live.astype(jnp.int32))
+    mp_old = jnp.zeros(P, jnp.int32).at[
+        jnp.where(mp_live, mp_rank, P)].set(
+        jnp.arange(P, dtype=jnp.int32), mode="drop")
+
+    live_kf = jnp.arange(K) < n_kf2
+    live_mp = jnp.arange(P) < n_mp2
+
+    def gk(arr):                                         # gather kf rows
+        out = arr[kf_old]
+        shape = (K,) + (1,) * (arr.ndim - 1)
+        return jnp.where(live_kf.reshape(shape), out, jnp.zeros_like(out))
+
+    def gp(arr):                                         # gather mp rows
+        out = arr[mp_old]
+        shape = (P,) + (1,) * (arr.ndim - 1)
+        return jnp.where(live_mp.reshape(shape), out, jnp.zeros_like(out))
+
+    # kf_mp: gather rows by kf_old, rewrite values through mp_new
+    kf_mp_rows = m.kf_mp[kf_old]
+    kf_mp2 = jnp.where(kf_mp_rows >= 0,
+                       mp_new[jnp.clip(kf_mp_rows, 0, P - 1)], -1)
+    kf_mp2 = jnp.where(live_kf[:, None], kf_mp2, -1)
+
+    m2 = m._replace(
+        kf_R=jnp.where(live_kf[:, None, None], m.kf_R[kf_old],
+                       jnp.eye(3, dtype=jnp.float32)),
+        kf_t=gk(m.kf_t),
+        kf_valid=live_kf,
+        kf_ts=gk(m.kf_ts),
+        kf_xy=gk(m.kf_xy),
+        kf_level=gk(m.kf_level),
+        kf_angle=gk(m.kf_angle),
+        kf_desc=gk(m.kf_desc),
+        kf_feat_valid=gk(m.kf_feat_valid) & live_kf[:, None],
+        kf_mp=kf_mp2,
+        kf_depth=gk(m.kf_depth),
+        kf_v=gk(m.kf_v),
+        kf_bg=gk(m.kf_bg),
+        kf_ba=gk(m.kf_ba),
+        kf_parent=jnp.where(
+            live_kf,
+            jnp.where(m.kf_parent[kf_old] >= 0,
+                      kf_new[jnp.clip(m.kf_parent[kf_old], 0, K - 1)], -1),
+            -1),
+        n_kf=n_kf2,
+        mp_pos=gp(m.mp_pos),
+        mp_valid=live_mp,
+        mp_desc=gp(m.mp_desc),
+        mp_normal=gp(m.mp_normal),
+        mp_min_dist=gp(m.mp_min_dist),
+        mp_max_dist=jnp.where(live_mp, m.mp_max_dist[mp_old], 1e9),
+        mp_first_kf=jnp.where(
+            live_mp,
+            jnp.where(m.mp_first_kf[mp_old] >= 0,
+                      kf_new[jnp.clip(m.mp_first_kf[mp_old], 0, K - 1)],
+                      -1),
+            -1),
+        mp_found=jnp.where(live_mp, m.mp_found[mp_old], 1.0),
+        mp_visible=jnp.where(live_mp, m.mp_visible[mp_old], 1.0),
+        n_mp=n_mp2,
+    )
+    return m2, kf_new, mp_new

@@ -60,16 +60,25 @@ def _circular_mask_and_coords():
     return mask.astype(np.float32), uu.astype(np.float32), vv.astype(np.float32)
 
 
+RAW_FLAT = RAW_PATCH * RAW_PATCH          # 2025
+RAW_FLAT_PAD = (RAW_FLAT + 127) // 128 * 128  # 2048 — MXU-aligned contraction
+
+
 @lru_cache(maxsize=None)
 def _moment_weights_raw() -> np.ndarray:
-    """(RAW_PATCH*RAW_PATCH, 2) constant weights: one matmul computes
-    (m10, m01) over the centered 31x31 circular sub-patch of the raw patch."""
+    """(RAW_FLAT_PAD, 8) constant weights: one matmul computes (m10, m01)
+    over the centered 31x31 circular sub-patch of the raw patch. Padded to
+    MXU-aligned dims (2048 x 8): matmuls with stray dims like (2025, 2) hit
+    a pathological Mosaic lowering on this backend that degrades the whole
+    process's dispatch path ~30x (measured; see ops/masks.py)."""
     mask, uu, vv = _circular_mask_and_coords()
     W = np.zeros((RAW_PATCH, RAW_PATCH, 2), np.float32)
     lo, hi = RAW_RADIUS - HALF_PATCH, RAW_RADIUS + HALF_PATCH + 1
     W[lo:hi, lo:hi, 0] = uu * mask
     W[lo:hi, lo:hi, 1] = vv * mask
-    return W.reshape(-1, 2)
+    Wp = np.zeros((RAW_FLAT_PAD, 8), np.float32)
+    Wp[:RAW_FLAT, :2] = W.reshape(-1, 2)
+    return Wp
 
 
 @lru_cache(maxsize=None)
@@ -109,13 +118,50 @@ def _compare_matrices() -> np.ndarray:
     return D
 
 
+BRIEF_FLAT = BRIEF_PATCH * BRIEF_PATCH            # 1521
+BRIEF_FLAT_PAD = (BRIEF_FLAT + 127) // 128 * 128  # 1536 — MXU-aligned
+
+
 @lru_cache(maxsize=None)
 def _compare_matrices_dev():
-    """Concrete bf16 copy of the compare tensor, built eagerly even when
-    first touched inside a trace (a traced device_put here would cache a
-    tracer and poison later traces)."""
+    """Concrete bf16 copy of the (unblurred) compare tensor, padded to an
+    MXU-aligned contraction dim (see _moment_weights_raw); for the compat
+    pre-blurred-canvas brief_descriptors path."""
+    D = _compare_matrices().reshape(N_ANGLE_BINS * 256, -1)
+    Dp = np.zeros((N_ANGLE_BINS * 256, BRIEF_FLAT_PAD), np.float32)
+    Dp[:, :BRIEF_FLAT] = D
     with jax.ensure_compile_time_eval():
-        return jnp.asarray(_compare_matrices(), jnp.bfloat16)
+        return jnp.asarray(Dp, jnp.bfloat16)
+
+
+@lru_cache(maxsize=None)
+def _compare_blur_matrices() -> np.ndarray:
+    """(A*256, RAW_FLAT_PAD) fused blur+compare matrices.
+
+    The 7-tap Gaussian pre-blur is linear, so it folds into the compare
+    tensor: with blurred = B P B^T (B the banded (39,45) blur),
+    v[b] = <D[b], blurred> = <B^T D[b] B, P>. One matmul then does
+    blur + BRIEF sampling + compare for all 64 angle bins at once — and the
+    standalone (39,45)/(2025,2)-shaped matmuls whose stray dims trigger the
+    Mosaic degradation (see _moment_weights_raw) disappear entirely."""
+    D = _compare_matrices().astype(np.float64)          # (A, 256, 39*39)
+    B = _blur_matrix().astype(np.float64)               # (39, 45)
+    A = N_ANGLE_BINS
+    Dm = D.reshape(A * 256, BRIEF_PATCH, BRIEF_PATCH)   # [b, i(y), l(x)]
+    # D'[b, j, k] = sum_{il} D[b,i,l] B[i,j] B[l,k]
+    Dp = np.einsum("bil,ij,lk->bjk", Dm, B, B)
+    out = np.zeros((A * 256, RAW_FLAT_PAD), np.float32)
+    out[:, :RAW_FLAT] = Dp.reshape(A * 256, -1)
+    return out
+
+
+@lru_cache(maxsize=None)
+def _compare_blur_matrices_dev():
+    """Concrete bf16 copy of the fused compare tensor, built eagerly even
+    when first touched inside a trace (a traced device_put here would cache
+    a tracer and poison later traces)."""
+    with jax.ensure_compile_time_eval():
+        return jnp.asarray(_compare_blur_matrices(), jnp.bfloat16)
 
 
 def _gather_patches(canvas: jnp.ndarray, level: jnp.ndarray, y: jnp.ndarray,
@@ -146,24 +192,36 @@ def ic_angles(canvas: jnp.ndarray, level: jnp.ndarray, y: jnp.ndarray,
     return jnp.arctan2(m[:, 1], m[:, 0])
 
 
-def _brief_from_blurred(blurred_flat: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
-    """blurred_flat (N, 39*39) -> (N, 256) int8 bits via the binned compare
-    matmul. Accumulation is f32 (exact: each row has a +1 and a -1); only the
-    bf16 rounding of pixel values (<= 0.5 gray) differs from f32 sampling."""
-    D = _compare_matrices_dev()                       # (A, 256, 1521) bf16
+def _bits_from_compare(D: jnp.ndarray, flat_padded: jnp.ndarray,
+                       angle: jnp.ndarray) -> jnp.ndarray:
+    """Shared compare-matmul + bin-select: D (A*256, Fpad) bf16 compare
+    tensor, flat_padded (N, Fpad) patches -> (N, 256) int8 bits."""
     A = N_ANGLE_BINS
-    p = blurred_flat.astype(jnp.bfloat16)
+    p = flat_padded.astype(jnp.bfloat16)
     v = jax.lax.dot_general(
-        D.reshape(A * 256, -1), p, (((1,), (1,)), ((), ())),
+        D, p, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.DEFAULT)          # (A*256, N)
     v = v.reshape(A, 256, -1)
     bins = bin_angles(angle)                          # (N,)
     # bin selection as a one-hot weighted reduce (vectorizes on the VPU;
-    # a take_along_axis here would be 256*N scalar gathers)
-    oh = jax.nn.one_hot(bins, A, axis=0, dtype=v.dtype)          # (A, N)
+    # a take_along_axis here would be 256*N scalar gathers). Arithmetic
+    # one-hot + sign-based bit: 2-D bool compare/convert is the documented
+    # Mosaic pathology (ops/masks.py) — it degrades the whole process
+    diff = jnp.abs(jnp.arange(A, dtype=jnp.int32)[:, None]
+                   - bins[None, :]).astype(v.dtype)              # (A, N)
+    oh = jnp.clip(1.0 - diff, 0.0, 1.0)
     vn = jnp.sum(v * oh[:, None, :], axis=0)                     # (256, N)
-    return (vn.T < 0).astype(jnp.int8)
+    # bit = (v < 0): -sign(v) clipped to {0,1}; v == 0 -> 0 like I(p)<I(p)
+    return jnp.clip(-jnp.sign(vn.T), 0.0, 1.0).astype(jnp.int8)
+
+
+def _brief_from_raw(raw_flat_padded: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
+    """raw_flat_padded (N, RAW_FLAT_PAD) unblurred patches -> (N, 256) int8
+    bits via the fused blur+compare matmul (one MXU-aligned dot for all 64
+    angle bins; accumulation f32)."""
+    return _bits_from_compare(_compare_blur_matrices_dev(), raw_flat_padded,
+                              angle)
 
 
 def orient_and_brief(canvas: jnp.ndarray, level: jnp.ndarray, y: jnp.ndarray,
@@ -176,13 +234,11 @@ def orient_and_brief(canvas: jnp.ndarray, level: jnp.ndarray, y: jnp.ndarray,
     """
     patches = _gather_patches(canvas, level, y, x, RAW_RADIUS)  # (N,45,45)
     N = patches.shape[0]
-    flat = patches.reshape(N, -1)
-    m = flat @ jnp.asarray(_moment_weights_raw())               # (N, 2)
+    flat = jnp.pad(patches.reshape(N, -1),
+                   ((0, 0), (0, RAW_FLAT_PAD - RAW_FLAT)))      # (N, 2048)
+    m = flat @ jnp.asarray(_moment_weights_raw())               # (N, 8)
     angle = jnp.arctan2(m[:, 1], m[:, 0])
-    B = jnp.asarray(_blur_matrix())                             # (39, 45)
-    blurred = jnp.einsum("ij,njk,lk->nil", B, patches, B,
-                         precision=jax.lax.Precision.HIGH)      # (N,39,39)
-    desc = _brief_from_blurred(blurred.reshape(N, -1), angle)
+    desc = _brief_from_raw(flat, angle)
     return angle, desc
 
 
@@ -199,7 +255,10 @@ def brief_descriptors(blur_canvas: jnp.ndarray, level: jnp.ndarray,
     reference quantizes via its cos/sin LUT encoding).
     """
     patches = _gather_patches(blur_canvas, level, y, x, BRIEF_RADIUS)
-    return _brief_from_blurred(patches.reshape(patches.shape[0], -1), angle)
+    N = patches.shape[0]
+    flat = jnp.pad(patches.reshape(N, -1),
+                   ((0, 0), (0, BRIEF_FLAT_PAD - BRIEF_FLAT)))
+    return _bits_from_compare(_compare_matrices_dev(), flat, angle)
 
 
 def pack_bits_u32(bits: jnp.ndarray) -> jnp.ndarray:

@@ -45,7 +45,11 @@ def gather_patches(canvas: jnp.ndarray, level: jnp.ndarray, y: jnp.ndarray,
     cols = (x[:, None] + x_off
             + jnp.arange(w, dtype=jnp.int32)[None, :])          # (N, w)
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, W, 1), 1)
-    onehot = (iota_w == cols[:, None, :]).astype(strips.dtype)  # (N, W, w)
+    # arithmetic one-hot — an (iota == cols) bool compare + convert here is
+    # the documented Mosaic pathology (ops/masks.py): it compiles, but leaves
+    # the whole process's dispatch path degraded ~30x
+    diff = jnp.abs(iota_w - cols[:, None, :]).astype(strips.dtype)
+    onehot = jnp.clip(1.0 - diff, 0.0, 1.0)                     # (N, W, w)
     return jax.lax.dot_general(
         strips, onehot, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
