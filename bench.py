@@ -195,12 +195,126 @@ def bench_frontend():
     }))
 
 
+def _make_dist_problem(n_cams, n_pts, obs_per_cam, seed=0):
+    import jax.numpy as jnp
+    from orbslam3lib_tpu.mapping.local_ba import BAProblem
+    from orbslam3lib_tpu.utils import lie
+    from orbslam3lib_tpu.utils.cameras import pinhole_project
+
+    rng = np.random.default_rng(seed)
+    cam_params = jnp.asarray([300.0, 300.0, 320.0, 200.0], dtype=jnp.float32)
+    pts = rng.uniform([-8, -4, 4], [8, 4, 40], size=(n_pts, 3)).astype(np.float32)
+    cam_R = np.tile(np.eye(3, dtype=np.float32), (n_cams, 1, 1))
+    cam_t = np.stack([[0.15 * i, 0.0, 0.0] for i in range(n_cams)]).astype(np.float32)
+    e_cam = np.repeat(np.arange(n_cams), obs_per_cam).astype(np.int32)
+    e_pt = rng.integers(0, n_pts, size=n_cams * obs_per_cam).astype(np.int32)
+    p_c = np.asarray(lie.se3_apply(jnp.asarray(cam_R[e_cam]),
+                                   jnp.asarray(cam_t[e_cam]),
+                                   jnp.asarray(pts[e_pt])))
+    uv = np.asarray(pinhole_project(cam_params, jnp.asarray(p_c)))
+    uv += rng.normal(0, 0.5, uv.shape).astype(np.float32)
+    prob = BAProblem(
+        cam_R=jnp.asarray(cam_R), cam_t=jnp.asarray(cam_t),
+        cam_fixed=jnp.asarray([True, True] + [False] * (n_cams - 2)),
+        cam_valid=jnp.ones(n_cams, bool),
+        points=jnp.asarray(pts + rng.normal(0, 0.05, pts.shape).astype(np.float32)),
+        pt_valid=jnp.ones(n_pts, bool),
+        e_cam=jnp.asarray(e_cam), e_pt=jnp.asarray(e_pt),
+        e_uv=jnp.asarray(uv.astype(np.float32)),
+        e_inv_sigma2=jnp.ones(len(e_cam), jnp.float32),
+        e_u_right=jnp.zeros(len(e_cam), jnp.float32),
+        e_stereo=jnp.zeros(len(e_cam), bool),
+        e_valid=jnp.ones(len(e_cam), bool),
+    )
+    return prob, cam_params
+
+
+def bench_dist():
+    """Distributed-BA scaling on a virtual device mesh.
+
+    Measures global-BA LM iterations/sec for the SAME problem (64 cameras,
+    16k landmarks, ~200k observations — a full max_kf-scale map) at
+    1, 2, 4, 8 mesh devices, plus the single-device non-sharded solver as
+    the zero-overhead reference. The headline number is the 8-device
+    sharding efficiency vs the non-sharded solver: what fraction of the
+    ideal the psum-Schur decomposition keeps after paying its collective +
+    ownership-masking overhead. NOTE: on this host the 8 "devices" are
+    virtual CPU devices SHARING the same cores, so wall-clock cannot show
+    real speedup — the efficiency number isolates the *overhead* of the
+    distributed formulation, which is exactly what transfers to ICI.
+    """
+    if os.environ.get("JAX_PLATFORMS") != "cpu" or \
+            "host_platform_device_count=8" not in os.environ.get("XLA_FLAGS", ""):
+        # multi-device CPU mesh requires env set before backend init: re-exec
+        import subprocess
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + " --xla_force_host_platform_device_count=8").strip()
+        os.execve(sys.executable, [sys.executable, __file__, "dist"], env)
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from orbslam3lib_tpu.mapping.local_ba import bundle_adjust
+    from orbslam3lib_tpu.parallel.dist_ba import (dist_bundle_adjust,
+                                                  partition_problem)
+
+    N_CAMS, N_PTS, OBS = 64, 16384, 3072
+    N_ITERS, N_REPS = 10, 3
+    prob, cam_params = _make_dist_problem(N_CAMS, N_PTS, OBS)
+    devs = jax.devices()
+    assert len(devs) >= 8, devs
+
+    def time_once(fn):
+        fn()  # compile
+        best = None
+        for _ in range(N_REPS):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn())
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return N_ITERS / best          # LM iters/sec
+
+    # non-sharded reference solver
+    ref_ips = time_once(lambda: bundle_adjust(
+        prob, cam_params, cam_model=0, bf=0.0, n_iters=N_ITERS)[:3])
+    print(f"[bench] single-device bundle_adjust: {ref_ips:7.2f} iters/s",
+          file=sys.stderr, flush=True)
+
+    results = {}
+    for n in (1, 2, 4, 8):
+        mesh = Mesh(np.array(devs[:n]), ("mp",))
+        probd = partition_problem(prob, n)
+        ips = time_once(lambda: dist_bundle_adjust(
+            probd, cam_params, mesh, cam_model=0, bf=0.0,
+            n_iters=N_ITERS)[:3])
+        results[n] = ips
+        print(f"[bench] dist BA {n} device(s): {ips:7.2f} iters/s "
+              f"({ips / ref_ips:5.2f}x of non-sharded)",
+              file=sys.stderr, flush=True)
+
+    eff = results[8] / ref_ips
+    print(f"[bench] 8-way sharding efficiency vs non-sharded solver: "
+          f"{eff:.2f} (virtual devices share host cores: this bounds "
+          f"collective+masking overhead, the ICI-transferable quantity)",
+          file=sys.stderr, flush=True)
+    print(json.dumps({
+        "metric": "dist_ba_8dev_efficiency",
+        "value": round(eff, 3),
+        "unit": "fraction_of_nonsharded_throughput",
+        "vs_baseline": round(eff / 0.70, 3),
+    }))
+
+
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "full_slam"
     if mode == "frontend":
         bench_frontend()
     elif mode == "full_slam":
         bench_full_slam()
+    elif mode == "dist":
+        bench_dist()
     else:
         raise SystemExit(f"unknown bench mode {mode!r}")
 

@@ -107,6 +107,11 @@ class MappingConfig:
     n_fuse_neighbors: int = 3         # reverse-fuse targets per new KF
     kf_culling: bool = True           # enable >=90%-redundancy culling
     covis_ba_window: bool = True      # covisibility-selected local-BA window
+    # run the post-loop global BA on its own thread (mpThreadGBA,
+    # LoopClosing.cc:1198) instead of inline in the mapping call; the result
+    # is folded back in with spanning-tree propagation for keyframes created
+    # while it ran (RunGlobalBundleAdjustment tail, LoopClosing.cc:1240+)
+    async_gba: bool = False
 
 
 @dataclass

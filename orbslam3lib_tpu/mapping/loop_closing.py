@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from ..models import map_state as ms
 from ..utils import cameras, lie
+from ..utils.timing import Verbose
 from . import pose_graph, sim3 as sim3_mod
 
 
@@ -113,6 +114,9 @@ class MapMerger:
         self.consistent = (-1, -1)    # (archive position, candidate kf)
         self.count = 0
         self.n_merges = 0
+        # set by the tracker once IMU is initialized: tightens the merge
+        # scale gate to [0.9, 1.1] (LoopClosing.cc:144-163)
+        self.inertial = False
 
     def archive(self, map_idx: int, db) -> None:
         """Freeze the BoW database of a map being retired (new-map spawn)."""
@@ -163,7 +167,8 @@ class MapMerger:
             return False
         # merge-scale sanity gate (reference: scale in [0.9, 1.1] for
         # inertial merges, LoopClosing.cc:144-163; visual maps allow more)
-        if not (0.5 < float(s12) < 2.0):
+        s_lo, s_hi = (0.9, 1.1) if self.inertial else (0.5, 2.0)
+        if not (s_lo < float(s12) < s_hi):
             return False
 
         Rw, tw, sw = merge_world_sim3(
@@ -220,11 +225,15 @@ class MapMerger:
 
 @partial(jax.jit, static_argnames=("e_max",))
 def essential_edges(m: ms.MapState, e_max: int = 1024, min_weight: float = 100.0):
-    """Essential-graph edge list: sequential (spanning-tree stand-in) +
-    strong covisibility edges (weight >= 100, KeyFrame::GetCovisiblesByWeight
-    semantics). Returns (e_i, e_j, e_valid) of static size e_max."""
+    """Essential-graph edge list (OptimizeEssentialGraph input,
+    Optimizer.cc:1511): spanning-tree edges (KeyFrame.h:322 mpParent) +
+    sequential odometry chain + strong covisibility edges (weight >= 100,
+    KeyFrame::GetCovisiblesByWeight semantics). The caller appends the
+    persistent loop edges (mspLoopEdges). Returns (e_i, e_j, e_valid) of
+    static size e_max + K."""
     from ..ops.masks import step01
     K = m.max_kf
+    e_max = min(e_max, K * K)   # small maps: can't select more pairs
     C = ms.covisibility(m)
     ii = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
@@ -238,7 +247,15 @@ def essential_edges(m: ms.MapState, e_max: int = 1024, min_weight: float = 100.0
     top_w, top_idx = jax.lax.top_k(flat, e_max)
     e_i = top_idx // K
     e_j = top_idx % K
-    return e_i.astype(jnp.int32), e_j.astype(jnp.int32), top_w > 0
+    # spanning tree block: edge (parent[j], j) per keyframe with a parent
+    par = m.kf_parent
+    par_c = jnp.clip(par, 0, K - 1)
+    tree_valid = (par >= 0) & m.kf_valid & m.kf_valid[par_c]
+    e_i = jnp.concatenate([e_i.astype(jnp.int32), par_c])
+    e_j = jnp.concatenate([e_j.astype(jnp.int32),
+                           jnp.arange(K, dtype=jnp.int32)])
+    e_valid = jnp.concatenate([top_w > 0, tree_valid])
+    return e_i, e_j, e_valid
 
 
 @jax.jit
@@ -293,7 +310,7 @@ class LoopCloser:
 
     def __init__(self, cfg, place_rec, min_matches: int = 20,
                  min_inliers: int = 20, consistency_needed: int = 3,
-                 gba_iters: int = 10):
+                 gba_iters: int = 10, fix_scale: bool = False):
         self.cfg = cfg
         self.pr = place_rec
         self.min_matches = min_matches
@@ -303,13 +320,46 @@ class LoopCloser:
         self.consistency_count = 0
         self.last_loop_kf = -999
         self.n_loops = 0
+        # inertial mode (set by the tracker once IMU is initialized): routes
+        # the essential-graph correction to the 4-DoF yaw+translation
+        # optimizer (OptimizeEssentialGraph4DoF, Optimizer.cc:5338) — a 7-DoF
+        # Sim3 correction on an IMU-initialized map would bend the observable
+        # scale and gravity direction — and arms the inertial sanity gates
+        # (LoopClosing.cc:144-163): scale in [0.9, 1.1], pitch/roll of the
+        # correction < 0.008 rad
+        self.inertial = False
+        # stereo/RGBD: depth fixes scale, Sim3Solver runs with bFixScale
+        # (LoopClosing.cc:585 mbFixScale)
+        self.fix_scale = fix_scale
+        # persistent loop edges (KeyFrame::mspLoopEdges, KeyFrame.h:324):
+        # every confirmed loop's (loop_kf, cur_kf) pair is remembered and
+        # re-enters every later essential-graph optimization, so a second
+        # loop closure cannot discard the constraint of the first
+        self.loop_edges: list = []
         # global BA after loop correction (RunGlobalBundleAdjustment,
         # LoopClosing.cc:1206/2268); abort_gba is the mbStopGBA equivalent,
-        # polled between jitted LM chunks
+        # polled between jitted LM chunks. With async_gba the GBA is NOT run
+        # here — the tracker spawns it on a dedicated thread (mpThreadGBA)
+        # when it sees n_loops advance, and merges the result when done.
         self.gba_iters = gba_iters
         self.abort_gba = False
+        self.async_gba = bool(getattr(getattr(cfg, "mapping", None),
+                                      "async_gba", False))
 
     PROBE_N = 3
+    LOOP_EDGE_CAP = 16
+
+    def remap_keyframes(self, kf_new) -> None:
+        """Rewrite stored loop-edge keyframe ids after a map compaction /
+        merge re-indexed the keyframe slots (kf_new: old id -> new id or -1).
+        Edges touching a culled keyframe are dropped."""
+        out = []
+        for i, j in self.loop_edges:
+            if 0 <= i < len(kf_new) and 0 <= j < len(kf_new):
+                ni, nj = int(kf_new[i]), int(kf_new[j])
+                if ni >= 0 and nj >= 0:
+                    out.append((ni, nj))
+        self.loop_edges = out
 
     def probe_gates_ok(self, kf_id: int, n_kf: int) -> bool:
         return not (n_kf < 8 or kf_id - self.last_loop_kf < 10)
@@ -400,19 +450,43 @@ class LoopCloser:
         if self.consistency_count < self.consistency_needed:
             return m
 
-        # geometric verification: Sim3 RANSAC + refinement
+        # geometric verification: Sim3 RANSAC + refinement (bFixScale when
+        # depth or IMU makes scale observable, LoopClosing.cc:585)
+        fix_scale = self.fix_scale or self.inertial
         p_a, p_b, uv_a, uv_b, valid = match_kf_landmarks(
             m, jnp.int32(kf_id), jnp.int32(cand))
         if int(jnp.sum(valid)) < self.min_matches:
             return m
         R12, t12, s12, inl, n_inl = sim3_mod.sim3_ransac(
-            p_a, p_b, uv_a, uv_b, valid, cam_params)
+            p_a, p_b, uv_a, uv_b, valid, cam_params, fix_scale=fix_scale)
         if int(n_inl) < self.min_inliers:
             return m
         R12, t12, s12, inl, n_inl = sim3_mod.optimize_sim3(
-            R12, t12, s12, p_a, p_b, uv_a, uv_b, inl & valid, cam_params)
+            R12, t12, s12, p_a, p_b, uv_a, uv_b, inl & valid, cam_params,
+            fix_scale=fix_scale)
         if int(n_inl) < self.min_inliers:
             return m
+
+        if self.inertial:
+            # inertial sanity gates (LoopClosing.cc:144-163): the correction
+            # must not bend scale (observable from the IMU) and must be
+            # yaw-dominant — gravity alignment pins pitch/roll, so a loop
+            # hypothesis demanding a big pitch/roll correction is spurious
+            if not (0.9 < float(s12) < 1.1):
+                Verbose.log(f"[loop] inertial scale gate rejected s={float(s12):.3f}")
+                self.consistency_count = 0
+                return m
+            Rl, tl = m.kf_R[cand], m.kf_t[cand]
+            Rc_new, _, _ = lie.sim3_compose(
+                R12, t12, s12, Rl, tl, jnp.float32(1.0))
+            dR = Rc_new @ jnp.swapaxes(m.kf_R[kf_id], -1, -2)
+            phi = np.asarray(lie.so3_log(dR))
+            # pitch/roll (x, z — yaw is about the gravity axis y) < 0.008
+            if abs(float(phi[0])) > 0.008 or abs(float(phi[2])) > 0.008:
+                Verbose.log(f"[loop] inertial yaw-only gate rejected "
+                            f"phi={phi.round(4).tolist()}")
+                self.consistency_count = 0
+                return m
 
         m = self.correct(m, kf_id, cand, (R12, t12, s12))
         self.last_loop_kf = kf_id
@@ -420,11 +494,12 @@ class LoopCloser:
         self.n_loops += 1
 
         # full-map BA after the essential-graph correction
-        # (RunGlobalBundleAdjustment, LoopClosing.cc:1206)
-        if self.gba_iters > 0:
-            from .map_ba import global_bundle_adjust
+        # (RunGlobalBundleAdjustment, LoopClosing.cc:1206); in async mode the
+        # tracker spawns it on the GBA thread instead
+        if self.gba_iters > 0 and not self.async_gba:
+            from .map_ba import global_bundle_adjust_auto
             self.abort_gba = False
-            m = global_bundle_adjust(
+            m = global_bundle_adjust_auto(
                 m, cam_params, bf=float(self.cfg.bf),
                 cam_model=self.cfg.camera.model_id,
                 n_iters=self.gba_iters, chunk=5,
@@ -449,8 +524,25 @@ class LoopCloser:
         Rc_new, tc_new, sc_new = lie.sim3_compose(
             R12, t12, s12, Rl, tl, jnp.float32(1.0))
 
-        # edge list + the loop edge with the corrected relative measurement
+        # edge list: covisibility/sequential edges + ALL previously-stored
+        # loop edges (KeyFrame::mspLoopEdges re-entering every
+        # OptimizeEssentialGraph, Optimizer.cc:1511) + the new loop edge with
+        # the corrected relative measurement
         e_i, e_j, e_valid = essential_edges(m)
+        # fixed-capacity historical-loop-edge block (static shapes: one
+        # compiled pose-graph signature regardless of how many loops closed)
+        cap = self.LOOP_EDGE_CAP
+        hist = self.loop_edges[-cap:]
+        old_i = np.zeros(cap, np.int32)
+        old_j = np.zeros(cap, np.int32)
+        old_v = np.zeros(cap, bool)
+        for n, (i, j) in enumerate(hist):
+            old_i[n], old_j[n], old_v[n] = i, j, True
+        old_i, old_j = jnp.asarray(old_i), jnp.asarray(old_j)
+        e_i = jnp.concatenate([e_i, old_i])
+        e_j = jnp.concatenate([e_j, old_j])
+        e_valid = jnp.concatenate([
+            e_valid, jnp.asarray(old_v) & m.kf_valid[old_i] & m.kf_valid[old_j]])
         Rrel, trel, srel = pose_graph.relative_sim3(
             Rc_new, tc_new, sc_new, Rl, tl, jnp.float32(1.0))
         # append loop edge (i=loop, j=cur): S_j S_i^-1 = Scur Sloop^-1
@@ -469,6 +561,7 @@ class LoopCloser:
             trel[None]])
         e_s = jnp.concatenate([
             jnp.ones(e_i.shape[0] - 1, jnp.float32), srel[None].reshape(1)])
+        self.loop_edges.append((int(kf_loop), int(kf_cur)))
 
         fixed = jnp.zeros(K, bool).at[kf_loop].set(True)
         # seed the current KF at its corrected pose so the graph pulls the
@@ -477,7 +570,11 @@ class LoopCloser:
         kf_t0 = m.kf_t.at[kf_cur].set(tc_new)
         kf_s0 = s_ones.at[kf_cur].set(sc_new)
 
+        # inertial maps: 4-DoF yaw+translation graph (the IMU pins scale,
+        # pitch and roll — OptimizeEssentialGraph4DoF, Optimizer.cc:5338);
+        # pure-visual maps: full 7-DoF Sim3 (Optimizer.cc:1511)
+        mode = "4dof" if self.inertial else "sim3"
         new_R, new_t, new_s = pose_graph.optimize_pose_graph(
             kf_R0, kf_t0, kf_s0, m.kf_valid, fixed,
-            e_i, e_j, e_R, e_t, e_s, e_valid, mode="sim3", n_iters=15)
+            e_i, e_j, e_R, e_t, e_s, e_valid, mode=mode, n_iters=15)
         return apply_pose_graph_result(m, new_R, new_t, new_s, old_R, old_t)

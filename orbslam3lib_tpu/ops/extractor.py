@@ -162,6 +162,20 @@ def extract_orb_stereo(img_pair: jnp.ndarray, threshold: jnp.ndarray,
     )(img_pair)
 
 
+@partial(jax.jit, static_argnames=("max_kp", "n_levels"))
+def extract_orb_mono(img: jnp.ndarray, threshold: jnp.ndarray,
+                     max_kp: int = MAX_KP_DEFAULT,
+                     n_levels: int = pyramid.N_LEVELS):
+    """Single-image extraction with a leading eye axis of 1 (Features layout
+    compatible with the stereo tracker entry points, which consume eye [0]).
+    The RGB-D path uses this to run the front end ONCE per frame — the
+    reference's Frame(imGray, imDepth, ...) ctor also extracts once
+    (Tracking.cc GrabImageRGBD)."""
+    return jax.vmap(
+        lambda im: extract_orb(im, threshold, max_kp, n_levels)
+    )(img[None])
+
+
 class ThresholdController:
     """Host-side dynamic FAST-threshold feedback loop.
 

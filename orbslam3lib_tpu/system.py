@@ -115,12 +115,11 @@ class System:
     def _process_rgbd(self, img, depth_map, ts) -> dict:
         """Feed an RGB-D frame through the stereo path by synthesizing a
         virtual rectified right view from the depth map at keypoints."""
-        import jax
-        from .ops.extractor import extract_orb_stereo
+        from .ops.extractor import extract_orb_mono
         t = self.tracker
         cfg = self.cfg
-        feats = extract_orb_stereo(
-            jnp.asarray(np.stack([img, img])), jnp.float32(t.threshold.t),
+        feats = extract_orb_mono(
+            jnp.asarray(img), jnp.float32(t.threshold.t),
             max_kp=cfg.orb.max_kp, n_levels=cfg.orb.n_levels)
         xy = np.asarray(feats.xy[0])
         xs = np.clip(xy[:, 0].astype(int), 0, depth_map.shape[1] - 1)

@@ -390,6 +390,9 @@ class Tracker:
         self.lost_since: Optional[float] = None
         # mono init state
         self._init_frame = None
+        self._init_prev_xy = None    # mvbPrevMatched window anchors
+        self._mp_pressure = False    # landmark capacity nearly exhausted
+        self._compact_backoff = 0    # earliest frame id for the next attempt
         # place recognition + loop closing (lazy: vocabulary may come later)
         self.place_rec = None
         self.loop_closer = None
@@ -427,6 +430,10 @@ class Tracker:
         self._mapper_thread = None
         self._mapper_stop = False
         self._in_mapper_thread = False
+        # dedicated global-BA thread (mpThreadGBA, LoopClosing.cc:1198);
+        # spawned by _maybe_start_gba when a loop correction lands and
+        # cfg.mapping.async_gba is set
+        self._gba_thread = None
         if async_mapping:
             self._map_queue = _queue.Queue()
             self._mapper_thread = _threading.Thread(
@@ -462,9 +469,50 @@ class Tracker:
         self.place_rec = make_place_recognition(voc, self.cfg.map.max_kf,
                                                 prefer_native=False)
         if self.enable_loop_closing:
-            self.loop_closer = LoopCloser(self.cfg, self.place_rec)
+            self.loop_closer = LoopCloser(self.cfg, self.place_rec,
+                                              fix_scale=self.sensor == "stereo")
             if self.map_merger is None:
                 self.map_merger = MapMerger(self.cfg)
+
+    def _compact_map(self) -> bool:
+        """Recycle culled keyframe/landmark slots by compaction.
+
+        The reference's heap map grows unbounded (SetBadFlag frees KeyFrame/
+        MapPoint objects, KeyFrame.cc); a fixed-capacity tensor map must
+        reclaim dead slots or keyframe insertion stops at max_kf. Drains the
+        background mapper (queued kf ids would go stale), compacts the map
+        tensors, and remaps every host-side keyframe id. Returns True if
+        slots were reclaimed."""
+        self.wait_mapping_idle()
+        # a GBA snapshot carries pre-compaction ids: abort it
+        self._abort_gba_and_join()
+        with self._map_lock:
+            m = self.map
+            n_kf_b, n_mp_b = int(m.n_kf), int(m.n_mp)
+            m2, kf_new, mp_new = ms.compact_map(m)
+            n_kf_a, n_mp_a = int(m2.n_kf), int(m2.n_mp)
+            if n_kf_a >= n_kf_b and n_mp_a >= n_mp_b:
+                return False
+            kf_new_np = np.asarray(kf_new)
+            self.map = m2
+            self._n_kf_host = n_kf_a
+            if 0 <= self.last_kf_id < len(kf_new_np):
+                self.last_kf_id = int(kf_new_np[self.last_kf_id])
+            # in-flight chunk records / probes carry pre-compaction ids
+            self._chain = None
+            self._probe_pending = []
+            if self.loop_closer is not None:
+                lc = self.loop_closer
+                if 0 <= lc.last_loop_kf < len(kf_new_np):
+                    lc.last_loop_kf = int(kf_new_np[lc.last_loop_kf])
+                lc.consistent_candidate = -1
+                lc.consistency_count = 0
+                lc.remap_keyframes(kf_new_np)
+            if self.place_rec is not None:
+                self._rebuild_place_rec()
+            Verbose.log(f"[tracker] compacted map {n_kf_b}->{n_kf_a} KFs, "
+                        f"{n_mp_b}->{n_mp_a} MPs")
+            return True
 
     def _rebuild_place_rec(self):
         """Recompute the live BoW database from the current map (after an
@@ -536,6 +584,18 @@ class Tracker:
         self._last_frame_ts = ts
         if img.ndim == 2:
             img = img[None]
+
+        # slot recycling: when keyframe capacity is (nearly) exhausted or
+        # landmark spawning hit the cap, compact culled slots away (with a
+        # backoff so a genuinely-full map doesn't drain the pipeline every
+        # frame retrying a compaction that cannot free anything)
+        if self.state == OK and self.frame_id >= self._compact_backoff and \
+                (self._mp_pressure or (self._n_kf_host is not None
+                                       and self._nkf >= self.map.max_kf - 1)):
+            self._mp_pressure = False
+            self._drain_pipeline()
+            if not self._compact_map():
+                self._compact_backoff = self.frame_id + 64
 
         # pipelined fast path: steady-state stereo tracking only; any other
         # state (init, loss, IMU transitions) drains and runs synchronously
@@ -704,7 +764,9 @@ class Tracker:
         recs, self._pending = self._pending, []
         probes, self._probe_pending = self._probe_pending, []
         self.timer.start("pipeline_asarray")
-        vals = np.asarray(self._stack_packs(
+        # np.array: writable copy (the loop-correction path composes the
+        # Sim3 delta onto the fetched poses in place)
+        vals = np.array(self._stack_packs(
             [r[3] for r in recs] + [h for _, h in probes]))
         self.timer.stop("pipeline_asarray")
         n_pack = sum(r[3].shape[0] for r in recs)
@@ -730,6 +792,7 @@ class Tracker:
                     self.stats["n_loops"] += 1
                     self._chain = None  # poses moved: restart from map pose
                     self.pose = (self.map.kf_R[kid], self.map.kf_t[kid])
+                    self._maybe_start_gba()
                     # compose the correction onto the burst's not-yet-consumed
                     # poses (CorrectLoop's mlRelativeFramePoses treatment,
                     # LoopClosing.cc:969+): the packs were tracked against the
@@ -828,6 +891,8 @@ class Tracker:
         self.last_kf_id = kid
         self.ref_kf_matches = max(n_inl, 1)
         self.stats["n_kf"] += 1
+        if kid % 8 == 0:                # landmark-capacity pressure probe
+            self._mp_pressure = int(self.map.n_mp) >= 0.9 * self.map.max_mp
         if self.place_rec is not None:
             self.place_rec.add(kid, self.map.kf_desc[kid],
                                self.map.kf_feat_valid[kid])
@@ -851,6 +916,7 @@ class Tracker:
         of a sequence before reading trajectories)."""
         self._drain_pipeline()
         self.wait_mapping_idle()
+        self.wait_gba()
 
     # -- initialization -----------------------------------------------------
     def _initialize(self, feats: Features, u_r, depth, ts, n_feat) -> dict:
@@ -885,17 +951,32 @@ class Tracker:
                feats.valid[0], feats.angle[0])
         if self._init_frame is None:
             self._init_frame = cur
+            # mvbPrevMatched (Tracking.cc:2519): the window-search anchor
+            # positions, updated to the latest matched location each attempt
+            # so the search window tracks feature motion while the reference
+            # frame (and thus the stereo baseline) keeps GROWING until the
+            # reconstruction passes the parallax gate
+            self._init_prev_xy = feats.xy[0]
             return {"state": self.state, "n_inliers": 0}
 
         ts0, xy0, lvl0, desc0, fv0, ang0 = self._init_frame
-        # SearchForInitialization: 100 px window + ratio 0.9 + rotation
-        # histogram (ORBmatcher.cc:649, Tracking.cc:2548-2556)
+        # SearchForInitialization: 100 px window around the last matched
+        # positions + ratio 0.9 + rotation histogram (ORBmatcher.cc:649,
+        # Tracking.cc:2548-2556)
         idx, ok = matching.match_for_initialization(
-            xy0, desc0, fv0, ang0, feats.xy[0], feats.desc[0],
+            self._init_prev_xy, desc0, fv0, ang0, feats.xy[0], feats.desc[0],
             feats.valid[0], feats.angle[0], window=100.0, th=50.0, ratio=0.9)
         if int(jnp.sum(ok)) < 100:   # Tracking.cc:2548: >=100 matches
+            # reference deletes the initializer and restarts from the
+            # current frame (Tracking.cc:2560)
             self._init_frame = cur
+            self._init_prev_xy = feats.xy[0]
             return {"state": self.state, "n_inliers": 0}
+        # track the matched positions for the next attempt's window
+        F0 = self._init_prev_xy.shape[0]
+        matched_xy = feats.xy[0][jnp.clip(idx, 0, F0 - 1)]
+        self._init_prev_xy = jnp.where(ok[:, None], matched_xy,
+                                       self._init_prev_xy)
         F = xy0.shape[0]
         uv1 = xy0
         uv2 = feats.xy[0][jnp.clip(idx, 0, F - 1)]
@@ -1104,6 +1185,10 @@ class Tracker:
         self.last_kf_frame = -999
         self.ref_kf_matches = 0
         self.imu_ready = False
+        if self.loop_closer is not None:
+            self.loop_closer.inertial = False
+        if self.map_merger is not None:
+            self.map_merger.inertial = False
         self._imu_init_ts = None
         self._viba_stage = 0
         self._next_scale_ref_ts = None
@@ -1113,6 +1198,7 @@ class Tracker:
     def _spawn_new_map(self):
         """CreateMapInAtlas (Tracking.cc:2720): retire the current map +
         its BoW database (for later merge-back) and start a fresh one."""
+        self._abort_gba_and_join()   # GBA snapshot belongs to the old map
         # retire the current map's BoW database into the merger so
         # the new map can later be merged back (MergeLocal detection)
         if self.map_merger is not None and self.place_rec is not None:
@@ -1126,13 +1212,15 @@ class Tracker:
             if self.loop_closer is not None:
                 from ..mapping.loop_closing import LoopCloser
                 n_loops = self.loop_closer.n_loops
-                self.loop_closer = LoopCloser(self.cfg, self.place_rec)
+                self.loop_closer = LoopCloser(self.cfg, self.place_rec,
+                                              fix_scale=self.sensor == "stereo")
                 self.loop_closer.n_loops = n_loops
         Verbose.log("[tracker] spawning new map in atlas")
         self._reset_tracking_state()
 
     def _reset_active_map(self):
         """ResetActiveMap (Tracking.cc): clear the current map in place."""
+        self._abort_gba_and_join()   # GBA snapshot belongs to the old map
         self.stats["n_resets"] += 1
         self.atlas.current_map = ms.empty_map(
             self.cfg.map.max_kf, self.cfg.map.max_mp, self.cfg.orb.max_kp)
@@ -1143,7 +1231,8 @@ class Tracker:
             if self.loop_closer is not None:
                 from ..mapping.loop_closing import LoopCloser
                 n_loops = self.loop_closer.n_loops
-                self.loop_closer = LoopCloser(self.cfg, self.place_rec)
+                self.loop_closer = LoopCloser(self.cfg, self.place_rec,
+                                              fix_scale=self.sensor == "stereo")
                 self.loop_closer.n_loops = n_loops
         self._reset_tracking_state()
 
@@ -1195,6 +1284,8 @@ class Tracker:
         kid = int(kf_id)
         if kid >= 0:
             self._n_kf_host = kid + 1
+        if kid >= 0 and kid % 8 == 0:   # landmark-capacity pressure probe
+            self._mp_pressure = int(self.map.n_mp) >= 0.9 * self.map.max_mp
 
         # synchronous tail: the tracker needs these immediately
         if self.place_rec is not None:
@@ -1204,8 +1295,11 @@ class Tracker:
 
         if self._map_queue is not None:
             # background LocalMapping/LoopClosing thread (SURVEY.md §2.4 P2):
-            # signal abort to any running GBA (mbAbortBA analog) and enqueue
-            if self.loop_closer is not None:
+            # in inline-GBA mode a running GBA blocks the mapper queue, so a
+            # new keyframe aborts it (mbAbortBA analog); a dedicated-thread
+            # GBA (async_gba) keeps running — only a NEWER loop aborts it
+            # (CorrectLoop mbStopGBA semantics)
+            if self.loop_closer is not None and not self.loop_closer.async_gba:
                 self.loop_closer.abort_gba = True
             self._map_queue.put(kid)
         else:
@@ -1240,7 +1334,71 @@ class Tracker:
                and time.time() - t0 < timeout):
             time.sleep(0.005)
 
+    # -- asynchronous global BA (mpThreadGBA, LoopClosing.cc:1198) ----------
+    def _maybe_start_gba(self):
+        """Spawn the post-loop global BA on its own thread. A still-running
+        previous GBA is aborted first (the CorrectLoop mbStopGBA semantics:
+        a newer loop correction supersedes the BA of the older map shape).
+
+        On this architecture the GBA's device work shares the one TPU stream
+        with the tracker's frame work, so the LM schedule runs in 1-iteration
+        jitted chunks — each enqueued piece is short, and a frame dispatched
+        between chunks waits at most one chunk, not the whole GBA."""
+        import threading
+        lc = self.loop_closer
+        if lc is None or not lc.async_gba or lc.gba_iters <= 0:
+            return
+        self._abort_gba_and_join()
+        m0 = self.map
+        n_kf0, n_mp0 = int(m0.n_kf), int(m0.n_mp)
+        lc.abort_gba = False
+        cfg = self.cfg
+
+        def run():
+            from ..mapping.map_ba import (global_bundle_adjust_auto,
+                                          merge_gba_result)
+            m_gba = global_bundle_adjust_auto(
+                m0, self.cam_params, bf=float(cfg.bf),
+                cam_model=cfg.camera.model_id, n_iters=lc.gba_iters,
+                chunk=1, n_ba_points=min(int(m0.max_mp), 4096),
+                should_abort=lambda: lc.abort_gba or self._mapper_stop)
+            # poll-acquire so an abort (whose setter may hold _map_lock and
+            # be joining us) can never deadlock against this acquisition
+            while not (lc.abort_gba or self._mapper_stop):
+                if self._map_lock.acquire(timeout=0.02):
+                    try:
+                        self.map = merge_gba_result(
+                            self.map, m_gba.kf_R, m_gba.kf_t, m_gba.mp_pos,
+                            jnp.int32(n_kf0), jnp.int32(n_mp0))
+                        # pipelined chain poses predate the merge; re-seed
+                        self._chain = None
+                        Verbose.log(f"[gba] merged async GBA "
+                                    f"(snapshot {n_kf0} KFs)")
+                    finally:
+                        self._map_lock.release()
+                    return
+
+        self._gba_thread = threading.Thread(target=run, daemon=True)
+        self._gba_thread.start()
+
+    def _abort_gba_and_join(self, timeout: float = 60.0):
+        """Abort + reap any in-flight GBA (its result is discarded)."""
+        t = self._gba_thread
+        if t is not None and t.is_alive():
+            if self.loop_closer is not None:
+                self.loop_closer.abort_gba = True
+            t.join(timeout)
+        self._gba_thread = None
+
+    def wait_gba(self, timeout: float = 300.0):
+        """Wait for an in-flight GBA to finish AND merge (tests/shutdown)."""
+        t = self._gba_thread
+        if t is not None:
+            t.join(timeout)
+            self._gba_thread = None
+
     def shutdown_mapping(self):
+        self.wait_gba()
         if self._mapper_thread is not None:
             self.wait_mapping_idle()
             self._mapper_stop = True
@@ -1308,6 +1466,7 @@ class Tracker:
                             if not self._in_mapper_thread:
                                 self.pose = (self.map.kf_R[kid],
                                              self.map.kf_t[kid])
+                            self._maybe_start_gba()
 
             # cross-map merge detection (NewDetectCommonRegions merge branch
             # -> MergeLocal): query retired maps' BoW databases
@@ -1315,6 +1474,9 @@ class Tracker:
                 with self.timer.stage("map_merge"):
                     if self.map_merger.on_keyframe(self.atlas, kid,
                                                    self.cam_params):
+                        # merge rewrote keyframe slots: a GBA snapshot of the
+                        # pre-merge map must not fold back in
+                        self._abort_gba_and_join()
                         self.stats["n_map_merges"] += 1
                         self._n_kf_host = None
                         self._rebuild_place_rec()
@@ -1541,6 +1703,12 @@ class Tracker:
         self.imu_bias = (bg, ba)
         self.frame_state_v = Rgw @ v[-1]
         self.imu_ready = True
+        # loop/merge machinery switches to inertial mode: 4-DoF essential
+        # graph, fixed-scale Sim3, tightened gates (LoopClosing.cc:144-163)
+        if self.loop_closer is not None:
+            self.loop_closer.inertial = True
+        if self.map_merger is not None:
+            self.map_merger.inertial = True
         self._imu_init_ts = self._kf_times[-1] if self._kf_times else None
         # re-anchor current pose from the transformed map
         self.pose = (self.map.kf_R[self.last_kf_id],
