@@ -96,8 +96,12 @@ def bench_full_slam():
     cfg.tracker.pose_rounds = 2
     cfg.tracker.pose_iters = 2
 
+    # async_mapping: LocalMapping/LoopClosing run on the mapper thread
+    # (the reference's thread layout, System.cc:356-438) — KF mapping work
+    # leaves the tracker's critical path
     tracker = Tracker(cfg, sensor="stereo", enable_loop_closing=True,
-                      enable_timing=True, pipeline=16, chunk=4)
+                      enable_timing=True, pipeline=16, chunk=4,
+                      async_mapping=True)
 
     # --- populate: dense keyframing until the map is big ---
     t0 = time.time()
@@ -125,7 +129,7 @@ def bench_full_slam():
     # measure in windows and keep the best (the TPU tunnel's round-trip
     # latency/bandwidth varies run to run; best-of-N isolates engine cost)
     n_meas = (N_STEADY - N_WARM) // N_REPS
-    best_dt = None
+    best_dt = worst_dt = None
     i = N_WARM
     for rep in range(N_REPS):
         t0 = time.perf_counter()
@@ -137,6 +141,7 @@ def bench_full_slam():
         print(f"[bench] window {rep}: {dt * 1e3:.2f} ms/frame",
               file=sys.stderr, flush=True)
         best_dt = dt if best_dt is None else min(best_dt, dt)
+        worst_dt = dt if worst_dt is None else max(worst_dt, dt)
     dt = best_dt
 
     fps = 1.0 / dt
@@ -146,11 +151,14 @@ def bench_full_slam():
     for k, st in sorted(tracker.timer.summary().items()):
         print(f"[bench]   {k:20s} mean {st['mean_ms']:8.2f} ms  "
               f"n={st['count']}", file=sys.stderr, flush=True)
+    tracker.finish()
     print(json.dumps({
         "metric": "full_slam_fps",
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / 90.0, 3),
+        "worst_window_ms": round(worst_dt * 1e3, 2),
+        "fails": tracker.stats["track_fail"],
     }))
 
 

@@ -118,6 +118,11 @@ class MappingConfig:
 class MapConfig:
     max_kf: int = 256
     max_mp: int = 16384
+    # pre-trained BoW vocabulary (.npz from models/vocabulary.py). None =
+    # the shipped default (data/orb_vocab.npz) if present, else a small
+    # first-frame auto-trained fallback. The reference loads a pre-trained
+    # binary vocabulary at startup (CustomVocabulary.h:60, System.cc:126).
+    vocabulary_path: Optional[str] = None
 
 
 @dataclass

@@ -35,9 +35,10 @@ from . import pose_graph, sim3 as sim3_mod
 def match_kf_landmarks(m: ms.MapState, kf_a, kf_b):
     """Descriptor-match the landmark-bearing features of two keyframes.
 
-    Returns (p_a_cam (F,3), p_b_cam (F,3), uv_a, uv_b, valid) aligned to
-    kf_a's feature slots — the input of Sim3 RANSAC (the reference's
-    SearchByBoW(KF, KF) + Sim3Solver input assembly, LoopClosing.cc:578+).
+    Returns (p_a_cam (F,3), p_b_cam (F,3), uv_a, uv_b, valid, idx) aligned
+    to kf_a's feature slots (idx = matched kf_b feature slot, -1 = none) —
+    the input of Sim3 RANSAC (the reference's SearchByBoW(KF, KF) +
+    Sim3Solver input assembly, LoopClosing.cc:578+).
     """
     from ..tracking.matching import match_descriptors_ratio
 
@@ -54,7 +55,93 @@ def match_kf_landmarks(m: ms.MapState, kf_a, kf_b):
     valid = ok & m.mp_valid[mp_a] & m.mp_valid[mp_b]
     p_a = lie.se3_apply(m.kf_R[a], m.kf_t[a], m.mp_pos[mp_a])
     p_b = lie.se3_apply(m.kf_R[b], m.kf_t[b], m.mp_pos[mp_b])
-    return p_a, p_b, m.kf_xy[a], m.kf_xy[b][idx_c], valid
+    return (p_a, p_b, m.kf_xy[a], m.kf_xy[b][idx_c], valid,
+            jnp.where(valid, idx, -1))
+
+
+def _sim3_project_match(p_in_tgt, src_ok, src_desc, src_max_dist,
+                        xy_t, lvl_t, desc_t, ok_t, cam_params,
+                        cam_model: int, img_w: int, img_h: int,
+                        n_levels: int, radius: float):
+    """Project source landmarks (already in the target camera frame) and
+    match each to the best target feature inside the scale-predicted radius
+    (one direction of ORBmatcher::SearchBySim3's dual sweep). Returns the
+    matched target feature per source slot (-1 = none)."""
+    from ..ops.masks import leq_int, penalize, step01
+    from ..ops.matcher import hamming_matrix
+    from ..ops.pyramid import scale_factors
+    from ..tracking.matching import TH_HIGH, predicted_level
+
+    z = p_in_tgt[..., 2]
+    uv = cameras.project(cam_model, cam_params, p_in_tgt)
+    dist = jnp.linalg.norm(p_in_tgt, axis=-1)
+    vis = src_ok.astype(jnp.float32) * step01((z - 0.1) * 10.0)
+    vis = vis * step01(uv[..., 0] + 1.0) * step01(img_w - uv[..., 0])
+    vis = vis * step01(uv[..., 1] + 1.0) * step01(img_h - uv[..., 1])
+    lvl = predicted_level(dist, src_max_dist, n_levels)
+    sf = jnp.asarray(scale_factors(n_levels))
+    r_scaled = radius * sf[lvl]
+
+    d2 = jnp.sum((uv[:, None, :] - xy_t[None, :, :]) ** 2, axis=-1)
+    g = step01(r_scaled[:, None] ** 2 - d2 + 1.0)
+    dlvl = jnp.abs(lvl_t[None, :] - lvl[:, None]).astype(jnp.float32)
+    g = g * step01(2.0 - dlvl)
+    g = g * vis[:, None] * ok_t.astype(jnp.float32)[None, :]
+    dm = hamming_matrix(src_desc, desc_t)
+    dm = penalize(dm, g * leq_int(dm, TH_HIGH))
+    best = jnp.argmin(dm, axis=1)
+    from ..ops.masks import is_finite_match
+    hasm = is_finite_match(jnp.min(dm, axis=1))
+    return jnp.where(hasm > 0.5, best, -1)
+
+
+@partial(jax.jit, static_argnames=("cam_model", "img_w", "img_h",
+                                   "n_levels", "radius"))
+def search_by_sim3(m: ms.MapState, kf_a, kf_b, R12, t12, s12, cam_params,
+                   prev_idx, prev_ok, cam_model: int = 0,
+                   img_w: int = 640, img_h: int = 400, n_levels: int = 8,
+                   radius: float = 7.5):
+    """Grow loop correspondences through the estimated Sim3 before the
+    final OptimizeSim3 (ORBmatcher::SearchBySim3, ORBmatcher.cc:1464):
+    project kf_a's landmarks into kf_b through S21 and kf_b's into kf_a
+    through S12, match each within the scale-predicted radius (th=7.5, gate
+    TH_HIGH), and accept MUTUAL agreements as new matches; slots with an
+    existing match (prev_idx/prev_ok, aligned to kf_a's features) keep it.
+
+    S12 convention: p_a_cam ~= s12 * R12 @ p_b_cam + t12 (the sim3_ransac
+    output). Returns (p_a_cam, p_b_cam, uv_a, uv_b, valid) aligned to kf_a's
+    feature slots — the optimize_sim3 input."""
+    a = jnp.clip(kf_a, 0, m.max_kf - 1)
+    b = jnp.clip(kf_b, 0, m.max_kf - 1)
+    F = m.n_feat
+    mp_a = jnp.clip(m.kf_mp[a], 0, m.max_mp - 1)
+    mp_b = jnp.clip(m.kf_mp[b], 0, m.max_mp - 1)
+    has_a = m.kf_feat_valid[a] & (m.kf_mp[a] >= 0) & m.mp_valid[mp_a]
+    has_b = m.kf_feat_valid[b] & (m.kf_mp[b] >= 0) & m.mp_valid[mp_b]
+    p_a_cam = lie.se3_apply(m.kf_R[a], m.kf_t[a], m.mp_pos[mp_a])
+    p_b_cam = lie.se3_apply(m.kf_R[b], m.kf_t[b], m.mp_pos[mp_b])
+
+    p_b_in_a = s12 * (p_b_cam @ R12.T) + t12
+    Ri, ti, si = lie.sim3_inverse(R12, t12, s12)
+    p_a_in_b = si * (p_a_cam @ Ri.T) + ti
+
+    match_ab = _sim3_project_match(
+        p_a_in_b, has_a, m.kf_desc[a], m.mp_max_dist[mp_a],
+        m.kf_xy[b], m.kf_level[b], m.kf_desc[b], has_b, cam_params,
+        cam_model, img_w, img_h, n_levels, radius)
+    match_ba = _sim3_project_match(
+        p_b_in_a, has_b, m.kf_desc[b], m.mp_max_dist[mp_b],
+        m.kf_xy[a], m.kf_level[a], m.kf_desc[a], has_a, cam_params,
+        cam_model, img_w, img_h, n_levels, radius)
+
+    j = jnp.clip(match_ab, 0, F - 1)
+    mutual = (match_ab >= 0) & (match_ba[j] == jnp.arange(F))
+    use_new = mutual & has_a & has_b[j] & ~prev_ok
+    idx_out = jnp.where(prev_ok, jnp.clip(prev_idx, 0, F - 1),
+                        jnp.where(use_new, j, 0))
+    ok_out = prev_ok | use_new
+    return (p_a_cam, p_b_cam[idx_out], m.kf_xy[a], m.kf_xy[b][idx_out],
+            ok_out)
 
 
 @jax.jit
@@ -298,11 +385,20 @@ def loop_probe(m: ms.MapState, bow_db, active, centroids, idf, kf_id,
     q = bow_vector(words, m.kf_feat_valid[kf_id], idf, k ** depth)
     s = l1_scores(bow_db, q)
     ii = jnp.arange(K)
-    exclude = (covis_row > 0) | (~active) | (jnp.abs(ii - kf_id) <= 3)
+    # dynamic score floor (DetectLoop, LoopClosing.cc:96+): a candidate
+    # must look at least as similar as the WORST covisible neighbor —
+    # the defense against perceptual aliasing in self-similar scenes
+    covis_mask = (covis_row >= 15.0) & active & (ii != kf_id)
+    min_score = jnp.min(jnp.where(covis_mask, s, 1.0))
+    # temporal exclusion window 8: with the lagged/pipelined front end,
+    # keyframes a few ids apart can carry duplicate landmarks (bindings
+    # computed against a <=pipeline-frames-stale map), so covisibility
+    # alone cannot be trusted to exclude near-in-time keyframes
+    exclude = (covis_row > 0) | (~active) | (jnp.abs(ii - kf_id) <= 8)
     s = jnp.where(exclude, -1.0, s)
     top_s, top_i = jax.lax.top_k(s, n_best)
     return jnp.concatenate([top_i.astype(jnp.float32), top_s,
-                            covis_row[top_i]])
+                            covis_row[top_i], min_score[None]])
 
 
 class LoopCloser:
@@ -379,7 +475,7 @@ class LoopCloser:
         out = loop_probe(m, self.pr.bow_db, self.pr.active, voc.centroids,
                          voc.idf, jnp.int32(kf_id), k=voc.k, depth=voc.depth,
                          n_best=self.PROBE_N)
-        return jnp.concatenate([out, jnp.zeros(16 - 3 * self.PROBE_N)])
+        return jnp.concatenate([out, jnp.zeros(16 - 3 * self.PROBE_N - 1)])
 
     def on_probe_result(self, m: ms.MapState, kf_id: int, vals,
                         cam_params) -> ms.MapState:
@@ -389,7 +485,8 @@ class LoopCloser:
         ids = vals[:n].astype(np.int32)
         scores = vals[n:2 * n]
         covis_w = vals[2 * n:3 * n]
-        return self._after_probe(m, kf_id, ids, scores, covis_w, cam_params)
+        return self._after_probe(m, kf_id, ids, scores, covis_w, cam_params,
+                                 min_score=float(vals[3 * n]))
 
     def _probe(self, m: ms.MapState, kf_id: int):
         """Candidate retrieval: fused single-fetch path for the dense JAX
@@ -402,17 +499,25 @@ class LoopCloser:
                 m, self.pr.bow_db, self.pr.active, voc.centroids, voc.idf,
                 jnp.int32(kf_id), k=voc.k, depth=voc.depth, n_best=n_best))
             return (out[:n_best].astype(np.int32), out[n_best:2 * n_best],
-                    out[2 * n_best:])
+                    out[2 * n_best:3 * n_best], float(out[3 * n_best]))
         covis = np.asarray(ms.covisibility(m)[kf_id])
         exclude = covis > 0
         exclude[kf_id] = True
-        exclude[max(0, kf_id - 3):kf_id + 1] = True  # temporal neighbors
+        exclude[max(0, kf_id - 8):kf_id + 9] = True  # temporal neighbors
+        # dynamic floor: worst covisible-neighbor score (DetectLoop)
+        s_all = np.asarray(self.pr.query_scores(
+            m.kf_desc[kf_id], m.kf_feat_valid[kf_id])) \
+            if hasattr(self.pr, "query_scores") else None
+        covis_ids = np.flatnonzero(covis > 0)
+        covis_ids = covis_ids[covis_ids != kf_id]
+        min_score = float(s_all[covis_ids].min()) \
+            if s_all is not None and len(covis_ids) else 0.0
         ids, scores = self.pr.query(m.kf_desc[kf_id], m.kf_feat_valid[kf_id],
                                     exclude_mask=jnp.asarray(exclude),
                                     n_best=n_best)
         ids = np.asarray(ids)
         return (ids, np.asarray(scores),
-                covis[np.clip(ids, 0, m.max_kf - 1)])
+                covis[np.clip(ids, 0, m.max_kf - 1)], min_score)
 
     def on_keyframe(self, m: ms.MapState, kf_id: int, cam_params,
                     n_kf: Optional[int] = None) -> ms.MapState:
@@ -430,13 +535,17 @@ class LoopCloser:
         probe = self._probe(m, kf_id)
         if probe is None:
             return m
-        ids, scores, covis_w = probe
-        return self._after_probe(m, kf_id, ids, scores, covis_w, cam_params)
+        ids, scores, covis_w, min_score = probe
+        return self._after_probe(m, kf_id, ids, scores, covis_w, cam_params,
+                                 min_score=min_score)
 
     def _after_probe(self, m: ms.MapState, kf_id: int, ids, scores, covis_w,
-                     cam_params) -> ms.MapState:
+                     cam_params, min_score: float = 0.0) -> ms.MapState:
         cand = int(ids[0])
-        if cand < 0 or float(scores[0]) <= 0.015:
+        # a candidate must beat BOTH the absolute floor and the worst
+        # covisible neighbor's similarity (DetectLoop minScore,
+        # LoopClosing.cc:96+) — the aliasing defense in self-similar scenes
+        if cand < 0 or float(scores[0]) <= max(0.015, min_score):
             self.consistency_count = 0
             return m
 
@@ -453,7 +562,7 @@ class LoopCloser:
         # geometric verification: Sim3 RANSAC + refinement (bFixScale when
         # depth or IMU makes scale observable, LoopClosing.cc:585)
         fix_scale = self.fix_scale or self.inertial
-        p_a, p_b, uv_a, uv_b, valid = match_kf_landmarks(
+        p_a, p_b, uv_a, uv_b, valid, idx = match_kf_landmarks(
             m, jnp.int32(kf_id), jnp.int32(cand))
         if int(jnp.sum(valid)) < self.min_matches:
             return m
@@ -461,8 +570,16 @@ class LoopCloser:
             p_a, p_b, uv_a, uv_b, valid, cam_params, fix_scale=fix_scale)
         if int(n_inl) < self.min_inliers:
             return m
+        # grow correspondences through the RANSAC Sim3 before the final
+        # refinement (SearchBySim3, ORBmatcher.cc:1464 / LoopClosing.cc:640)
+        cfg_cam = self.cfg.camera
+        p_a, p_b, uv_a, uv_b, valid = search_by_sim3(
+            m, jnp.int32(kf_id), jnp.int32(cand), R12, t12, s12, cam_params,
+            idx, inl & valid, cam_model=cfg_cam.model_id,
+            img_w=cfg_cam.width, img_h=cfg_cam.height,
+            n_levels=self.cfg.orb.n_levels)
         R12, t12, s12, inl, n_inl = sim3_mod.optimize_sim3(
-            R12, t12, s12, p_a, p_b, uv_a, uv_b, inl & valid, cam_params,
+            R12, t12, s12, p_a, p_b, uv_a, uv_b, valid, cam_params,
             fix_scale=fix_scale)
         if int(n_inl) < self.min_inliers:
             return m
@@ -488,6 +605,9 @@ class LoopCloser:
                 self.consistency_count = 0
                 return m
 
+        Verbose.log(f"[loop] correcting {kf_id}->{cand}: score "
+                    f"{float(scores[0]):.3f} (minScore {min_score:.3f}), "
+                    f"{int(n_inl)} sim3 inliers, s={float(s12):.3f}")
         m = self.correct(m, kf_id, cand, (R12, t12, s12))
         self.last_loop_kf = kf_id
         self.consistency_count = 0

@@ -50,10 +50,19 @@ class Vocabulary(NamedTuple):
 
 
 def train_vocabulary(descriptors: np.ndarray, k: int = 8, depth: int = 4,
-                     n_iter: int = 8, seed: int = 0) -> Vocabulary:
+                     n_iter: int = 8, seed: int = 0,
+                     doc_ids: np.ndarray | None = None) -> Vocabulary:
     """Hierarchical k-medians on 0/1 descriptor bits (host-side, NumPy).
 
     descriptors: (N, 256) 0/1. Returns a Vocabulary with k^depth words.
+    doc_ids: optional (N,) int document (image) label per descriptor; when
+    given, per-word idf = log(n_docs / (1 + df)) is computed from the
+    training corpus (DBoW2's TF_IDF weighting, TemplatedVocabulary
+    setNodeWeights), else idf = 1.
+
+    Degenerate (empty / tiny) clusters replicate the group's first real
+    centroid, so unused children can never strictly win a descent argmin
+    over a populated sibling.
     """
     rng = np.random.default_rng(seed)
     desc = descriptors.astype(np.int8)
@@ -64,6 +73,7 @@ def train_vocabulary(descriptors: np.ndarray, k: int = 8, depth: int = 4,
         init = data[rng.choice(len(data), min(k, len(data)), replace=False)]
         cents = np.zeros((k, data.shape[1]), np.int8)
         cents[:len(init)] = init
+        cents[len(init):] = init[0]          # pad with a real centroid
         for _ in range(n_iter):
             d = (data[:, None, :] != cents[None, :, :]).sum(-1)
             assign = d.argmin(1)
@@ -71,6 +81,8 @@ def train_vocabulary(descriptors: np.ndarray, k: int = 8, depth: int = 4,
                 sel = data[assign == c]
                 if len(sel):
                     cents[c] = (sel.mean(0) > 0.5).astype(np.int8)
+                else:
+                    cents[c] = cents[0]      # dead cluster: mirror a live one
         return cents
 
     levels = []
@@ -92,13 +104,26 @@ def train_vocabulary(descriptors: np.ndarray, k: int = 8, depth: int = 4,
         groups = next_groups
 
     W = k ** depth
-    return Vocabulary(centroids=tuple(levels), idf=jnp.ones(W, jnp.float32),
-                      k=k, depth=depth)
+    voc = Vocabulary(centroids=tuple(levels), idf=jnp.ones(W, jnp.float32),
+                     k=k, depth=depth)
+    if doc_ids is not None:
+        words = np.asarray(word_ids(voc, jnp.asarray(desc)))
+        n_docs = len(np.unique(doc_ids))
+        df = np.zeros(W, np.float64)
+        for w in {(int(w), int(d)) for w, d in zip(words, doc_ids)}:
+            df[w[0]] += 1.0
+        idf = np.log(n_docs / (1.0 + df)).clip(min=0.0) + 1e-3
+        voc = voc._replace(idf=jnp.asarray(idf.astype(np.float32)))
+    return voc
+
+
+DEFAULT_VOCAB_PATH = __file__.rsplit("/", 2)[0] + "/data/orb_vocab.npz"
 
 
 def save_vocabulary(voc: Vocabulary, path: str):
-    np.savez(path, k=voc.k, depth=voc.depth, idf=np.asarray(voc.idf),
-             **{f"level_{i}": np.asarray(c) for i, c in enumerate(voc.centroids)})
+    np.savez_compressed(
+        path, k=voc.k, depth=voc.depth, idf=np.asarray(voc.idf),
+        **{f"level_{i}": np.asarray(c) for i, c in enumerate(voc.centroids)})
 
 
 def load_vocabulary(path: str) -> Vocabulary:

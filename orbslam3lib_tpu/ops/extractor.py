@@ -66,8 +66,17 @@ class Features:
 
 
 def _detect_level(img_l: jnp.ndarray):
-    """One pyramid level -> per-tile top-K candidates (score, y, x)."""
-    score = fast.nms3x3(fast.fast_scores(img_l, margin=DETECT_MARGIN))
+    """One pyramid level -> per-tile top-K candidates (score, y, x).
+
+    On TPU the score+NMS pass runs as the fused Pallas kernel
+    (ops/pallas_fast.py): one VMEM-resident row-band sweep instead of the
+    XLA path's (16, H, W) rolled ring stack in HBM. Bit-equal by contract
+    (oracle-tested in tests/test_pallas_ops.py and on device)."""
+    if jax.default_backend() == "tpu":
+        from .pallas_fast import fast_scores_nms
+        score = fast_scores_nms(img_l, margin=DETECT_MARGIN)
+    else:
+        score = fast.nms3x3(fast.fast_scores(img_l, margin=DETECT_MARGIN))
     return fast.tile_topk(score, TILE_H, TILE_W, TILE_K, approx=True)
 
 

@@ -64,14 +64,18 @@ def _two_stage_core(m: ms.MapState, R0, t0, feat_xy, feat_level, feat_desc,
                     r_coarse: float, r_fine: float,
                     cam_model: int, img_w: int, img_h: int,
                     n_levels: int, pose_rounds: int, pose_iters: int,
-                    prev_mp=None):
+                    prev_mp=None, prev_angle=None, feat_angle=None):
     """Two-stage projection search + pose optimization against the map.
 
     Stage 1 is TrackWithMotionModel (ORBmatcher::SearchByProjection frame ->
     last frame, ORBmatcher.cc:1683): when `prev_mp` (F,) carries the
     landmark ids tracked in the previous frame, only THOSE are searched at
-    the coarse radius — a (F, F) problem instead of (P, F). Stage 2 is the
-    TrackLocalMap refinement against the map at the fine radius.
+    the coarse radius — a (F, F) problem instead of (P, F); with
+    `prev_angle`/`feat_angle` (the previous/current frames' keypoint
+    orientations) the rotation-consistency histogram (CheckOrientation,
+    ORBmatcher.cc:1792) prunes matches outside the three dominant
+    orientation-delta bins. Stage 2 is the TrackLocalMap refinement against
+    the map at the fine radius (no orientation check, as in the reference).
 
     Returns (R, t, mp_feat (P,), inlier_per_mp (P,), n_inliers, visible (P,),
     obs (feature-side PoseObs), feat_tracked (F,), feat_mp_out (F,))."""
@@ -98,6 +102,12 @@ def _two_stage_core(m: ms.MapState, R0, t0, feat_xy, feat_level, feat_desc,
             R, t, cam_params, feat_xy, feat_level, feat_desc,
             feat_valid, radius, cam_model=cam_model, img_w=img_w, img_h=img_h,
             n_levels=n_levels)
+        if sub_ids is not None and prev_angle is not None \
+                and feat_angle is not None:
+            okm = pm.mp_feat >= 0
+            keep = matching.rotation_consistency(
+                prev_angle, feat_angle[jnp.clip(pm.mp_feat, 0, F - 1)], okm)
+            pm = pm._replace(mp_feat=jnp.where(keep, pm.mp_feat, -1))
         # invert the row-side match to the feature side so the LM solve runs
         # over F (~512) observations, not the landmark capacity (~16384)
         matched_mp = pm.mp_feat >= 0
@@ -164,9 +174,10 @@ def _frame_body(m: ms.MapState, carry, img_pair, threshold, cam_params,
     """One frame of the stereo tracking hot path: extraction -> stereo match
     (+SAD refine) -> constant-velocity predict -> two-stage track + pose LM
     -> velocity/stat updates. carry = (R, t, R_vel, t_vel, prev_mp,
-    mp_visible, mp_found); per-frame outputs (pack, feats, u_r, depth,
-    mp_feat) are what the host needs for KF creation and control."""
-    R_prev, t_prev, R_vel, t_vel, prev_mp, mp_visible, mp_found = carry
+    prev_angle, mp_visible, mp_found); per-frame outputs (pack, feats, u_r,
+    depth, mp_feat) are what the host needs for KF creation and control."""
+    (R_prev, t_prev, R_vel, t_vel, prev_mp, prev_angle,
+     mp_visible, mp_found) = carry
     want_canvas = sad_refine and not fisheye
     ex = extract_orb_stereo(img_pair, threshold, max_kp=max_kp,
                             n_levels=n_levels, return_canvas=want_canvas)
@@ -192,7 +203,7 @@ def _frame_body(m: ms.MapState, carry, img_pair, threshold, cam_params,
         m, R0, t0, feats.xy[0], feats.level[0], feats.desc[0],
         feats.valid[0], u_r, depth, cam_params, bf, r_coarse, r_fine,
         cam_model, img_w, img_h, n_levels, pose_rounds, pose_iters,
-        prev_mp=prev_mp)
+        prev_mp=prev_mp, prev_angle=prev_angle, feat_angle=feats.angle[0])
     Ri, ti = lie.se3_inverse(R_prev, t_prev)
     R_vel2, t_vel2 = lie.se3_compose(R, t, Ri, ti)
     close = feats.valid[0] & (depth > 0.05) & (depth < close_depth)
@@ -204,7 +215,8 @@ def _frame_body(m: ms.MapState, carry, img_pair, threshold, cam_params,
         feats.n_valid[:1].astype(jnp.float32),
         jnp.stack([n_inl.astype(jnp.float32), n_close_t, n_close_u]),
         R.reshape(-1), t])
-    carry2 = (R, t, R_vel2, t_vel2, feat_mp_out, mp_visible2, mp_found2)
+    carry2 = (R, t, R_vel2, t_vel2, feat_mp_out, feats.angle[0],
+              mp_visible2, mp_found2)
     # per-frame outputs: only what keyframe creation needs (left-eye feature
     # set + stereo depth + landmark association) — lean outputs matter on a
     # tunneled device where result buffers ride the same in-order stream
@@ -218,7 +230,7 @@ def _frame_body(m: ms.MapState, carry, img_pair, threshold, cam_params,
     "img_w", "img_h", "n_levels", "pose_rounds", "pose_iters", "max_kp",
     "fisheye", "sad_refine"))
 def _frame_step_chunk(m: ms.MapState, R_prev, t_prev, R_vel, t_vel, prev_mp,
-                      imgs, threshold, cam_params, cam2_params,
+                      prev_angle, imgs, threshold, cam_params, cam2_params,
                       R_lr, t_lr, bf: float, min_z: float,
                       close_depth: float, r_coarse: float, r_fine: float,
                       cam_model: int, img_w: int, img_h: int,
@@ -234,7 +246,7 @@ def _frame_step_chunk(m: ms.MapState, R_prev, t_prev, R_vel, t_vel, prev_mp,
     read-only for the chunk (keyframe insertion happens between chunks, a
     <=C-frame lag matching the mapper-thread semantics).
     """
-    carry0 = (R_prev, t_prev, R_vel, t_vel, prev_mp,
+    carry0 = (R_prev, t_prev, R_vel, t_vel, prev_mp, prev_angle,
               m.mp_visible, m.mp_found)
 
     def body(carry, img_pair):
@@ -362,7 +374,6 @@ class Tracker:
         self._img_buf: List = []      # frames awaiting a chunk dispatch
         self._pending: List = []      # in-flight chunk records
         self._chain = None            # device-side (R, t, R_vel, t_vel, ids)
-        self._stack_cache: dict = {}  # burst-size -> stacking jit
         self._n_kf_host = None        # host mirror of map.n_kf
         self._dev_static = None       # cached device copies of rig constants
         self._dev_tbc = None          # cached (R_bc, t_bc) device arrays
@@ -392,6 +403,7 @@ class Tracker:
         self._init_frame = None
         self._init_prev_xy = None    # mvbPrevMatched window anchors
         self._mp_pressure = False    # landmark capacity nearly exhausted
+        self._mp_pressure_probe = None  # in-flight async n_mp fetch
         self._compact_backoff = 0    # earliest frame id for the next attempt
         # place recognition + loop closing (lazy: vocabulary may come later)
         self.place_rec = None
@@ -528,15 +540,29 @@ class Tracker:
             self.loop_closer.pr = db
 
     def _ensure_place_rec(self, desc_bits):
-        """Train a vocabulary from the first frames' descriptors if none was
-        provided (the reference ships a pre-trained file; SURVEY.md §2.3)."""
-        if self.place_rec is None:
-            from ..models.vocabulary import train_vocabulary
+        """Load the pre-trained vocabulary (cfg.map.vocabulary_path, else
+        the shipped data/orb_vocab.npz — the reference loads a pre-trained
+        binary vocab at startup, CustomVocabulary.h:60 / System.cc:126-130).
+        Falls back to a small vocabulary auto-trained from the first
+        frame's descriptors only if no file is available."""
+        if self.place_rec is not None:
+            return
+        import os
+        from ..models.vocabulary import (DEFAULT_VOCAB_PATH, load_vocabulary,
+                                         train_vocabulary)
+        path = self.cfg.map.vocabulary_path or DEFAULT_VOCAB_PATH
+        if os.path.exists(path):
+            voc = load_vocabulary(path)
+            Verbose.log(f"[tracker] loaded vocabulary {path} "
+                        f"(k={voc.k}, L={voc.depth}, {voc.n_words} words)")
+        else:
             d = np.asarray(desc_bits)
             rng = np.random.default_rng(0)
             extra = rng.integers(0, 2, size=(2048, 256)).astype(np.int8)
             voc = train_vocabulary(np.concatenate([d, extra]), k=8, depth=3)
-            self._setup_place_rec(voc)
+            Verbose.log("[tracker] no vocabulary file: auto-trained "
+                        f"{voc.n_words} words from the first frame")
+        self._setup_place_rec(voc)
 
     # -- IMU ----------------------------------------------------------------
     def feed_imu(self, gyro: np.ndarray, acc: np.ndarray, dts: np.ndarray):
@@ -682,11 +708,11 @@ class Tracker:
         self.stats["n_frames"] += 1
         if len(self._img_buf) >= self.chunk:
             self._dispatch_chunk()
-        if sum(r[2] for r in self._pending) >= self.pipeline:
-            # consume the whole burst: device->host transfers on this
-            # platform are in-order with compute, so ANY fetch waits for the
-            # full queue — amortize the round trip over all K frames
-            self._finalize_pending()
+        # consume whatever has RETIRED (pack transfers started at dispatch
+        # via copy_to_host_async): zero host blocking in steady state — the
+        # host control loop trails the device by however long compute takes,
+        # bounded at 2*pipeline frames
+        self._finalize_ready()
         return {"state": self.state, "n_inliers": self.n_inliers_last,
                 "pipelined": True}
 
@@ -708,7 +734,8 @@ class Tracker:
                 Rv, tv = self.vel
                 self._chain = (jnp.asarray(R), jnp.asarray(t),
                                jnp.asarray(Rv), jnp.asarray(tv),
-                               jnp.full(cfg.orb.max_kp, -1, jnp.int32))
+                               jnp.full(cfg.orb.max_kp, -1, jnp.int32),
+                               jnp.zeros(cfg.orb.max_kp, jnp.float32))
             if self._dev_static is None:
                 cam2 = cfg.camera2 or cfg.camera
                 R_lr, t_lr = cfg.stereo_extrinsics
@@ -718,10 +745,10 @@ class Tracker:
                     self._dev_threshold[0] != self.threshold.t:
                 self._dev_threshold = (self.threshold.t,
                                        jnp.float32(self.threshold.t))
-            Rp, tp, Rv, tv, prev_mp = self._chain
+            Rp, tp, Rv, tv, prev_mp, prev_ang = self._chain
             cam2_params, R_lr, t_lr = self._dev_static
             carry, ys = _frame_step_chunk(
-                self.map, Rp, tp, Rv, tv, prev_mp,
+                self.map, Rp, tp, Rv, tv, prev_mp, prev_ang,
                 jnp.asarray(np.stack(imgs)),
                 self._dev_threshold[1], self.cam_params,
                 cam2_params, R_lr, t_lr, bf=float(cfg.bf),
@@ -735,54 +762,57 @@ class Tracker:
                 pose_iters=cfg.tracker.pose_iters, max_kp=cfg.orb.max_kp,
                 fisheye=bool(cfg.stereo.fisheye),
                 sad_refine=bool(cfg.stereo.sad_refine))
-            (R, t, Rv2, tv2, feat_mp_out, mp_vis2, mp_fnd2) = carry
-            self._chain = (R, t, Rv2, tv2, feat_mp_out)
+            (R, t, Rv2, tv2, feat_mp_out, ang_out, mp_vis2, mp_fnd2) = carry
+            self._chain = (R, t, Rv2, tv2, feat_mp_out, ang_out)
             self.map = self.map._replace(mp_visible=mp_vis2, mp_found=mp_fnd2)
             # record: (ts/fid lists, n_real, pack (C,16), feats, u_r, depth,
             # mp_feat — each with leading chunk dim)
             self._pending.append(
                 ([b[1] for b in buf], [b[2] for b in buf], n_real) + ys)
+            # start the D2H transfer of the scalar pack NOW: it executes as
+            # soon as this chunk's compute retires, overlapping with the
+            # next chunks' dispatch — by finalize time the bytes are already
+            # host-side and the fetch no longer drains the device queue
+            ys[0].copy_to_host_async()
 
-    def _stack_packs(self, packs):
-        """Concatenate a mixed list of (C,16)/(16,) packs into one (N,16)
-        array via a cached jit (ONE fetchable buffer per burst)."""
-        key = tuple(p.ndim for p in packs)
-        f = self._stack_cache.get(key)
-        if f is None:
-            f = jax.jit(lambda *ps: jnp.concatenate(
-                [p.reshape(-1, PACK_LEN) for p in ps]))
-            self._stack_cache[key] = f
-        return f(*packs)
+    @staticmethod
+    def _xfer_done(h) -> bool:
+        try:
+            return h.is_ready()
+        except AttributeError:
+            return True
+
+    def _finalize_ready(self):
+        """Consume only the chunks/probes whose pack transfer has already
+        retired — zero host blocking in steady state. If the in-flight
+        backlog exceeds 2*pipeline frames (device slower than the frame
+        source), block on the oldest chunks until back within bound."""
+        self._finalize_impl(drain=False)
 
     def _finalize_pending(self):
-        """Fetch the scalar packs of all in-flight chunks (one round trip)
-        and run the host control loop over them frame by frame. On a
-        detected loss, ALL in-flight frames are dropped."""
+        """Blocking drain of ALL in-flight chunks and probes."""
+        self._finalize_impl(drain=True)
+
+    def _finalize_impl(self, drain: bool):
         if not self._pending and not self._probe_pending:
             return
-        self.timer.start("pipeline_finalize")
-        recs, self._pending = self._pending, []
-        probes, self._probe_pending = self._probe_pending, []
-        self.timer.start("pipeline_asarray")
-        # np.array: writable copy (the loop-correction path composes the
-        # Sim3 delta onto the fetched poses in place)
-        vals = np.array(self._stack_packs(
-            [r[3] for r in recs] + [h for _, h in probes]))
-        self.timer.stop("pipeline_asarray")
-        n_pack = sum(r[3].shape[0] for r in recs)
-        pack_vals, probe_vals = vals[:n_pack], vals[n_pack:]
-        real = np.concatenate([
-            (np.arange(r[3].shape[0]) < r[2]) for r in recs]) \
-            if recs else np.zeros(0, bool)
-        # ONE controller step per burst: the burst's frames all saw the same
-        # threshold, so applying per-frame updates here would step the
-        # feedback loop K times on stale data and oscillate it into collapse
-        if real.any():
-            self.threshold.update(int(np.median(pack_vals[real, 0])))
-        prev_pose = None
         with self._map_lock:
-            # lagged loop-closing probes first (they predate the burst)
-            for (kid, _), pv in zip(probes, probe_vals):
+            self.timer.start("pipeline_finalize")
+            # pop retired probes (or all, on drain)
+            if drain:
+                probes, self._probe_pending = self._probe_pending, []
+            else:
+                flags = [self._xfer_done(h) for _, h in self._probe_pending]
+                probes = [p for p, f in zip(self._probe_pending, flags) if f]
+                self._probe_pending = [
+                    p for p, f in zip(self._probe_pending, flags) if not f]
+
+            # lagged loop-closing probes first (they predate every pending
+            # chunk); a correction moves keyframe poses, so collect each
+            # rigid delta to compose onto the in-flight frame poses below
+            deltas = []
+            for (kid, h) in probes:
+                pv = np.asarray(h).reshape(-1)
                 n_before = self.loop_closer.n_loops
                 old_R = np.asarray(self.map.kf_R[kid], np.float64)
                 old_t = np.asarray(self.map.kf_t[kid], np.float64)
@@ -793,21 +823,51 @@ class Tracker:
                     self._chain = None  # poses moved: restart from map pose
                     self.pose = (self.map.kf_R[kid], self.map.kf_t[kid])
                     self._maybe_start_gba()
-                    # compose the correction onto the burst's not-yet-consumed
-                    # poses (CorrectLoop's mlRelativeFramePoses treatment,
-                    # LoopClosing.cc:969+): the packs were tracked against the
-                    # pre-correction world, so right-multiply each by
-                    # T_delta = T_old(kid)^-1 T_new(kid) (rigid approximation
-                    # of the local Sim3)
                     new_R = np.asarray(self.map.kf_R[kid], np.float64)
                     new_t = np.asarray(self.map.kf_t[kid], np.float64)
-                    dR = old_R.T @ new_R
-                    dt = old_R.T @ (new_t - old_t)
-                    for row_v in pack_vals:
-                        Rf = row_v[4:13].reshape(3, 3).astype(np.float64)
-                        tf = row_v[13:16].astype(np.float64)
-                        row_v[4:13] = (Rf @ dR).reshape(-1)
-                        row_v[13:16] = Rf @ dt + tf
+                    deltas.append((old_R.T @ new_R,
+                                   old_R.T @ (new_t - old_t)))
+
+            # pop the retired prefix of chunk records; on drain OR after a
+            # loop correction take everything (frames in flight were tracked
+            # against the pre-correction world and need the delta composed —
+            # CorrectLoop's mlRelativeFramePoses treatment,
+            # LoopClosing.cc:969+); otherwise also block on the oldest
+            # chunks if the backlog exceeds the 2*pipeline bound
+            if drain or deltas:
+                recs, self._pending = self._pending, []
+            else:
+                recs = []
+                while self._pending and self._xfer_done(self._pending[0][3]):
+                    recs.append(self._pending.pop(0))
+                limit = 2 * max(self.pipeline, 1)
+                while self._pending and \
+                        sum(r[2] for r in self._pending) > limit:
+                    recs.append(self._pending.pop(0))
+            if not recs:
+                self.timer.stop("pipeline_finalize")
+                return
+
+            self.timer.start("pipeline_asarray")
+            # np.concatenate yields a fresh writable array (the
+            # loop-correction path composes the Sim3 delta in place)
+            pack_vals = np.concatenate(
+                [np.asarray(r[3]).reshape(-1, PACK_LEN) for r in recs])
+            self.timer.stop("pipeline_asarray")
+            real = np.concatenate([
+                (np.arange(r[3].shape[0]) < r[2]) for r in recs])
+            # ONE controller step per batch: the batch's frames all saw the
+            # same threshold; per-frame updates would step the feedback loop
+            # K times on stale data and oscillate it into collapse
+            if real.any():
+                self.threshold.update(int(np.median(pack_vals[real, 0])))
+            for dR, dt in deltas:
+                for row_v in pack_vals:
+                    Rf = row_v[4:13].reshape(3, 3).astype(np.float64)
+                    tf = row_v[13:16].astype(np.float64)
+                    row_v[4:13] = (Rf @ dR).reshape(-1)
+                    row_v[13:16] = Rf @ dt + tf
+            prev_pose = None
             row = 0
             lost = False
             for rec in recs:
@@ -823,7 +883,11 @@ class Tracker:
                 row += C
                 if lost:
                     break
-        self.timer.stop("pipeline_finalize")
+            if lost:
+                # drop EVERYTHING still in flight (reference frame drops on
+                # backpressure); the loss path re-seeds from the map pose
+                self._pending = []
+            self.timer.stop("pipeline_finalize")
 
     def _consume_record(self, rec, c, v, prev_pose) -> bool:
         """Host policy for one lagged frame (frame `c` of chunk record
@@ -856,6 +920,21 @@ class Tracker:
             with self.timer.stage("keyframe"):
                 self._create_keyframe_from_record(rec, c, R, t, n_inl)
         return True
+
+    def _probe_mp_pressure(self):
+        """Landmark-capacity pressure probe WITHOUT a device sync: resolve
+        the probe issued ~8 KFs ago (its D2H transfer finished long ago) and
+        start a fresh async fetch of n_mp. The 90%-capacity threshold
+        absorbs the 8-KF lag."""
+        prev = self._mp_pressure_probe
+        if prev is not None:
+            self._mp_pressure = int(prev) >= 0.9 * self.map.max_mp
+        h = self.map.n_mp
+        try:
+            h.copy_to_host_async()
+        except AttributeError:
+            pass
+        self._mp_pressure_probe = h
 
     def _need_new_keyframe_scalars(self, n_inliers, n_close_tracked,
                                    n_close_untracked, frame_id) -> bool:
@@ -891,11 +970,8 @@ class Tracker:
         self.last_kf_id = kid
         self.ref_kf_matches = max(n_inl, 1)
         self.stats["n_kf"] += 1
-        if kid % 8 == 0:                # landmark-capacity pressure probe
-            self._mp_pressure = int(self.map.n_mp) >= 0.9 * self.map.max_mp
-        if self.place_rec is not None:
-            self.place_rec.add(kid, self.map.kf_desc[kid],
-                               self.map.kf_feat_valid[kid])
+        if kid % 8 == 0:
+            self._probe_mp_pressure()
         if self._map_queue is not None:
             if self.loop_closer is not None:
                 self.loop_closer.abort_gba = True
@@ -1284,13 +1360,8 @@ class Tracker:
         kid = int(kf_id)
         if kid >= 0:
             self._n_kf_host = kid + 1
-        if kid >= 0 and kid % 8 == 0:   # landmark-capacity pressure probe
-            self._mp_pressure = int(self.map.n_mp) >= 0.9 * self.map.max_mp
-
-        # synchronous tail: the tracker needs these immediately
-        if self.place_rec is not None:
-            self.place_rec.add(kid, self.map.kf_desc[kid],
-                               self.map.kf_feat_valid[kid])
+        if kid >= 0 and kid % 8 == 0:
+            self._probe_mp_pressure()
         self._note_kf_imu(ts)
 
         if self._map_queue is not None:
@@ -1317,7 +1388,14 @@ class Tracker:
             try:
                 self._in_mapper_thread = True
                 with self._map_lock:
-                    self._mapping_pipeline(kid)
+                    # with the pipelined front end, loop probes are only
+                    # DISPATCHED here and consumed by the tracker's finalize
+                    # when their transfer retires — the mapper never fetches
+                    # while holding the map lock
+                    if self.pipeline > 1:
+                        self._mapping_pipeline(kid, lagged_loops=True)
+                    else:
+                        self._mapping_pipeline(kid)
             except Exception as e:  # never kill the thread; surface the error
                 Verbose.log(f"[mapper] error on KF {kid}: {e!r}")
             finally:
@@ -1416,6 +1494,15 @@ class Tracker:
         later in _finalize_pending — the LoopClosing-thread semantics of the
         reference without any device round trip on the keyframe path."""
         cfg = self.cfg
+        if self.place_rec is not None:
+            # BoW computation lives HERE, not at KF creation — the
+            # reference computes it in the mapper thread too
+            # (LocalMapping::ProcessNewKeyFrame -> ComputeBoW,
+            # LocalMapping.cc:243), keeping the tracker free of the
+            # device->host descriptor fetch
+            with self.timer.stage("bow_add"):
+                self.place_rec.add(kid, self.map.kf_desc[kid],
+                                   self.map.kf_feat_valid[kid])
         with self.timer.stage("local_mapping"):
             self.map = lm_ops.cull_mappoints(self.map, jnp.int32(kid))
             # covisibility-driven neighbor set (CreateNewMapPoints nn=10,
@@ -1426,10 +1513,13 @@ class Tracker:
                 self.map, n_new = lm_ops.triangulate_pair(
                     self.map, jnp.int32(kid), nbrs[i], self.cam_params,
                     cam_model=cfg.camera.model_id, n_levels=cfg.orb.n_levels)
-            # SearchInNeighbors fuse, both directions (LocalMapping.cc:726)
-            cand = lm_ops.observed_mp_mask(self.map, nbrs)
+            # SearchInNeighbors fuse, both directions (LocalMapping.cc:726).
+            # Candidate set = ALL valid landmarks, not just the covisible
+            # neighbors' — one (P, F) MXU matmul makes the restriction
+            # pointless on TPU, and it repairs covisibility when pipelined
+            # keyframes carried stale-map bindings (duplicate landmarks)
             self.map, _ = lm_ops.fuse_into_keyframe(
-                self.map, jnp.int32(kid), cand, self.cam_params,
+                self.map, jnp.int32(kid), self.map.mp_valid, self.cam_params,
                 cam_model=cfg.camera.model_id, img_w=cfg.camera.width,
                 img_h=cfg.camera.height, n_levels=cfg.orb.n_levels)
             own = lm_ops.observed_mp_mask(
@@ -1456,6 +1546,7 @@ class Tracker:
                         h = self.loop_closer.dispatch_probe(
                             self.map, kid, self._nkf)
                         if h is not None:
+                            h.copy_to_host_async()
                             self._probe_pending.append((kid, h))
                     else:
                         n_before = self.loop_closer.n_loops

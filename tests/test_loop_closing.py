@@ -134,9 +134,46 @@ class TestLoopClosing:
     def test_match_and_detect_loop(self):
         m, true_poses, est_poses, descs = self._build()
         n_kf = int(m.n_kf)
-        p_a, p_b, uv_a, uv_b, valid = match_kf_landmarks(
+        p_a, p_b, uv_a, uv_b, valid, idx = match_kf_landmarks(
             m, jnp.int32(n_kf - 1), jnp.int32(0))
         assert int(jnp.sum(valid)) > 40
+        # idx is aligned: matched slots carry the kf_b feature index
+        assert bool(jnp.all((idx >= 0) == valid))
+
+    def test_search_by_sim3_grows_matches(self):
+        """SearchBySim3 (ORBmatcher.cc:1464 role): projecting through the
+        RANSAC Sim3 recovers correspondences the descriptor ratio-test
+        stage missed, and never loses the seeds."""
+        from orbslam3lib_tpu.mapping import sim3 as sim3_mod
+        from orbslam3lib_tpu.mapping.loop_closing import search_by_sim3
+        m, *_ = self._build()
+        n_kf = int(m.n_kf)
+        # scale-invariance bounds consistent with the synthetic geometry:
+        # anchor at the KF0 viewing distance, level 0, so predicted levels
+        # land at 0 (the test features are all level 0)
+        R0 = np.asarray(m.kf_R[0]); t0 = np.asarray(m.kf_t[0])
+        c0 = -R0.T @ t0
+        dist = np.linalg.norm(np.asarray(m.mp_pos) - c0, axis=1) + 1e-3
+        m = m._replace(mp_max_dist=jnp.asarray(dist.astype(np.float32)),
+                       mp_min_dist=jnp.asarray((dist / 5.0).astype(np.float32)))
+        kf_cur, kf_old = n_kf - 1, 0
+        p_a, p_b, uv_a, uv_b, valid, idx = match_kf_landmarks(
+            m, jnp.int32(kf_cur), jnp.int32(kf_old))
+        R12, t12, s12, inl, n_inl = sim3_mod.sim3_ransac(
+            p_a, p_b, uv_a, uv_b, valid, CAM, fix_scale=False)
+        assert int(n_inl) >= 10
+        seeds = inl & valid
+        _, _, _, _, grown = search_by_sim3(
+            m, jnp.int32(kf_cur), jnp.int32(kf_old), R12, t12, s12, CAM,
+            idx, seeds)
+        # monotone growth: every seed kept, mutual projections added
+        assert bool(jnp.all(jnp.where(seeds, grown, True)))
+        assert int(jnp.sum(grown)) >= int(jnp.sum(seeds))
+        # with NO seeds, the sim3 projection sweep alone finds matches
+        _, _, _, _, pure = search_by_sim3(
+            m, jnp.int32(kf_cur), jnp.int32(kf_old), R12, t12, s12, CAM,
+            jnp.full_like(idx, -1), jnp.zeros_like(seeds))
+        assert int(jnp.sum(pure)) >= 10, int(jnp.sum(pure))
 
     def test_loop_correction_reduces_error(self):
         m, true_poses, est_poses, descs = self._build()
