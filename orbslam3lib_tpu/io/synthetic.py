@@ -33,10 +33,14 @@ class StereoRig:
     baseline: float = 0.11
     model: str = "pinhole"            # "pinhole" | "kannala_brandt8"
     k: tuple = (0.0, 0.0, 0.0, 0.0)   # KB8 theta-polynomial coefficients
+    dist: tuple = (0.0, 0.0, 0.0, 0.0, 0.0)  # pinhole radtan k1,k2,p1,p2,k3
 
     @property
     def params(self) -> np.ndarray:
         if self.model == "pinhole":
+            if any(d != 0.0 for d in self.dist):
+                return np.asarray([self.fx, self.fy, self.cx, self.cy,
+                                   *self.dist], dtype=np.float32)
             return np.asarray([self.fx, self.fy, self.cx, self.cy], dtype=np.float32)
         return np.asarray([self.fx, self.fy, self.cx, self.cy, *self.k],
                           dtype=np.float32)
@@ -105,6 +109,12 @@ class CorridorWorld:
             import jax.numpy as _jnp
             uv = np.stack([u.reshape(-1), v.reshape(-1)], axis=-1)
             d_c = np.asarray(_cams.kb8_unproject(
+                _jnp.asarray(rig.params), _jnp.asarray(uv))).reshape(H, W, 3)
+        elif any(d != 0.0 for d in rig.dist):
+            from ..utils import cameras as _cams
+            import jax.numpy as _jnp
+            uv = np.stack([u.reshape(-1), v.reshape(-1)], axis=-1)
+            d_c = np.asarray(_cams.radtan_unproject(
                 _jnp.asarray(rig.params), _jnp.asarray(uv))).reshape(H, W, 3)
         else:
             d_c = np.stack([(u - rig.cx) / rig.fx, (v - rig.cy) / rig.fy,

@@ -59,7 +59,7 @@ def match_kf_landmarks(m: ms.MapState, kf_a, kf_b):
             jnp.where(valid, idx, -1))
 
 
-def _sim3_project_match(p_in_tgt, src_ok, src_desc, src_max_dist,
+def _sim3_project_match(p_in_tgt, src_ok, src_desc, src_min_dist, src_max_dist,
                         xy_t, lvl_t, desc_t, ok_t, cam_params,
                         cam_model: int, img_w: int, img_h: int,
                         n_levels: int, radius: float):
@@ -78,6 +78,10 @@ def _sim3_project_match(p_in_tgt, src_ok, src_desc, src_max_dist,
     vis = src_ok.astype(jnp.float32) * step01((z - 0.1) * 10.0)
     vis = vis * step01(uv[..., 0] + 1.0) * step01(img_w - uv[..., 0])
     vis = vis * step01(uv[..., 1] + 1.0) * step01(img_h - uv[..., 1])
+    # scale-invariance distance band (SearchBySim3 dist3D gate,
+    # ORBmatcher.cc:1464: minDistance <= dist3D <= maxDistance)
+    vis = vis * step01((dist - 0.8 * src_min_dist) * 8.0)
+    vis = vis * step01((1.2 * src_max_dist - dist) * 8.0)
     lvl = predicted_level(dist, src_max_dist, n_levels)
     sf = jnp.asarray(scale_factors(n_levels))
     r_scaled = radius * sf[lvl]
@@ -126,11 +130,11 @@ def search_by_sim3(m: ms.MapState, kf_a, kf_b, R12, t12, s12, cam_params,
     p_a_in_b = si * (p_a_cam @ Ri.T) + ti
 
     match_ab = _sim3_project_match(
-        p_a_in_b, has_a, m.kf_desc[a], m.mp_max_dist[mp_a],
+        p_a_in_b, has_a, m.kf_desc[a], m.mp_min_dist[mp_a], m.mp_max_dist[mp_a],
         m.kf_xy[b], m.kf_level[b], m.kf_desc[b], has_b, cam_params,
         cam_model, img_w, img_h, n_levels, radius)
     match_ba = _sim3_project_match(
-        p_b_in_a, has_b, m.kf_desc[b], m.mp_max_dist[mp_b],
+        p_b_in_a, has_b, m.kf_desc[b], m.mp_min_dist[mp_b], m.mp_max_dist[mp_b],
         m.kf_xy[a], m.kf_level[a], m.kf_desc[a], has_a, cam_params,
         cam_model, img_w, img_h, n_levels, radius)
 
@@ -142,6 +146,54 @@ def search_by_sim3(m: ms.MapState, kf_a, kf_b, R12, t12, s12, cam_params,
     ok_out = prev_ok | use_new
     return (p_a_cam, p_b_cam[idx_out], m.kf_xy[a], m.kf_xy[b][idx_out],
             ok_out)
+
+
+@partial(jax.jit, static_argnames=("cam_model", "img_w", "img_h",
+                                   "n_levels", "radius", "n_covis"))
+def project_count_sim3(m: ms.MapState, kf_cur, kf_loop, R12, t12, s12,
+                       cam_params, cam_model: int = 0, img_w: int = 640,
+                       img_h: int = 400, n_levels: int = 8,
+                       radius: float = 8.0, n_covis: int = 10):
+    """Count projection matches of the loop neighborhood into the current KF
+    through the candidate Sim3 (the verification SearchByProjection of
+    DetectCommonRegionsFromBoW, LoopClosing.cc:755/791: the landmarks
+    observed by the matched KF + its 10 best covisible neighbors are
+    projected through Scw = S12 o T_loop_w and matched to the current KF's
+    features; the resulting count gates acceptance at nProjMatches /
+    nProjOptMatches).
+
+    S12 convention: p_cur_cam ~= s12 * R12 @ p_loop_cam + t12 (the
+    sim3_ransac/optimize_sim3 output for (p_cur, p_loop) inputs). The scale
+    is folded by pre-scaling the world: R_cw (s*p_w) + t_cw with
+    R_cw = R12 R_l, t_cw = s12 R12 t_l + t12 — viewing directions and the
+    scale-invariance band are scale-equivariant, so every isInFrustum gate
+    keeps its meaning in the scaled frame."""
+    from ..tracking.matching import search_by_projection
+    from .local_mapping import observed_mp_mask, top_covisible
+
+    nbrs = top_covisible(m, kf_loop, n_covis)
+    ids = jnp.concatenate([nbrs, jnp.asarray(kf_loop, jnp.int32).reshape(1)])
+    mask = observed_mp_mask(m, ids)
+    l = jnp.clip(kf_loop, 0, m.max_kf - 1)
+    c = jnp.clip(kf_cur, 0, m.max_kf - 1)
+    R_cw = R12 @ m.kf_R[l]
+    t_cw = s12 * (R12 @ m.kf_t[l]) + t12
+    # landmarks without a stored normal (zero vector: deserialized or
+    # externally-built maps) pass the view-angle gate (normal := view dir);
+    # the scale-band gate handles max_dist==0 inside search_by_projection
+    cw = -jnp.einsum("ji,j->i", R_cw, t_cw)          # scaled-world center
+    view = m.mp_pos * s12 - cw
+    view = view / jnp.maximum(jnp.linalg.norm(view, axis=-1, keepdims=True),
+                              1e-9)
+    has_n = jnp.linalg.norm(m.mp_normal, axis=-1) > 1e-6
+    normal = jnp.where(has_n[:, None], m.mp_normal, view)
+    pm = search_by_projection(
+        m.mp_pos * s12, m.mp_desc, mask, normal,
+        m.mp_min_dist * s12, m.mp_max_dist * s12,
+        R_cw, t_cw, cam_params, m.kf_xy[c], m.kf_level[c], m.kf_desc[c],
+        m.kf_feat_valid[c], radius, cam_model=cam_model, img_w=img_w,
+        img_h=img_h, n_levels=n_levels)
+    return jnp.sum((pm.mp_feat >= 0).astype(jnp.int32))
 
 
 @jax.jit
@@ -202,13 +254,21 @@ class MapMerger:
         self.count = 0
         self.n_merges = 0
         # set by the tracker once IMU is initialized: tightens the merge
-        # scale gate to [0.9, 1.1] (LoopClosing.cc:144-163)
+        # scale gate to [0.9, 1.1] and routes the weld through the
+        # gravity-consistent inertial path (MergeLocal2, LoopClosing.cc:1783)
         self.inertial = False
+        # bookkeeping of the last merge for the tracker's MergeInertialBA
+        # pass: {"kf_cur", "kf_old", "gaps": remapped preintegration registry}
+        self.last_merge = None
 
-    def archive(self, map_idx: int, db) -> None:
-        """Freeze the BoW database of a map being retired (new-map spawn)."""
+    def archive(self, map_idx: int, db, gaps=None) -> None:
+        """Freeze the BoW database (+ the per-gap IMU preintegration
+        registry) of a map being retired (new-map spawn). The registry is
+        what makes a later MergeInertialBA possible: inertial edges survive
+        the map retirement and re-enter the weld window after the merge."""
         if db is not None:
-            self.archives.append({"map_idx": map_idx, "db": db})
+            self.archives.append({"map_idx": map_idx, "db": db,
+                                  "gaps": dict(gaps) if gaps else {}})
 
     def on_keyframe(self, atlas, kf_id: int, cam_params) -> bool:
         """Query archived maps with the active map's new keyframe; on a
@@ -261,14 +321,36 @@ class MapMerger:
         Rw, tw, sw = merge_world_sim3(
             m.kf_R[kf_id], m.kf_t[kf_id], R12, t12, s12,
             old.kf_R[cand], old.kf_t[cand])
+        if self.inertial:
+            # gravity-consistent weld (MergeLocal2, LoopClosing.cc:1783):
+            # both maps are gravity-aligned (+y down), so the world-frame
+            # correction must be yaw-only — project out pitch/roll and pin
+            # scale to 1 (observable from the IMU)
+            Rn = np.asarray(Rw, np.float64)
+            yaw = np.arctan2(Rn[0, 2] - Rn[2, 0], Rn[0, 0] + Rn[2, 2])
+            cy, sy = np.cos(yaw), np.sin(yaw)
+            Rw = jnp.asarray(np.array([[cy, 0, sy], [0, 1, 0],
+                                       [-sy, 0, cy]], np.float32))
+            sw = jnp.float32(1.0)
         src_idx = arc["map_idx"]
         n_dst_before = int(m.n_kf)
         # the old map's cand KF lands at this index after merge_into's
         # valid-compacting append
-        cand_new = n_dst_before + int(np.sum(
-            np.asarray(old.kf_valid[:cand + 1]))) - 1
+        kf_valid_old = np.asarray(old.kf_valid)
+        rank = np.cumsum(kf_valid_old) - 1
+        cand_new = n_dst_before + int(rank[cand])
         atlas.merge(src_idx, Rw, tw, sw)
         self._welding_ba(atlas, kf_id, cand_new, cam_params)
+        # remap the archived preintegration registry into merged keyframe
+        # ids (consumed by the tracker's MergeInertialBA pass)
+        gaps_new = {}
+        for dst_k, (src_k, pre) in arc.get("gaps", {}).items():
+            if (0 <= dst_k < len(kf_valid_old) and kf_valid_old[dst_k]
+                    and 0 <= src_k < len(kf_valid_old) and kf_valid_old[src_k]):
+                gaps_new[n_dst_before + int(rank[dst_k])] = (
+                    n_dst_before + int(rank[src_k]), pre)
+        self.last_merge = {"kf_cur": kf_id, "kf_old": cand_new,
+                           "gaps": gaps_new}
         # fix up archive bookkeeping after the source map's removal
         self.archives.pop(pos)
         for a in self.archives:
@@ -389,7 +471,10 @@ def loop_probe(m: ms.MapState, bow_db, active, centroids, idf, kf_id,
     # must look at least as similar as the WORST covisible neighbor —
     # the defense against perceptual aliasing in self-similar scenes
     covis_mask = (covis_row >= 15.0) & active & (ii != kf_id)
-    min_score = jnp.min(jnp.where(covis_mask, s, 1.0))
+    # empty covisible set -> absolute floor 0, NOT the 1.0 sentinel (which
+    # would reject every candidate since l1 scores are <= 1)
+    min_score = jnp.where(jnp.any(covis_mask),
+                          jnp.min(jnp.where(covis_mask, s, 1.0)), 0.0)
     # temporal exclusion window 8: with the lagged/pipelined front end,
     # keyframes a few ids apart can carry duplicate landmarks (bindings
     # computed against a <=pipeline-frames-stale map), so covisibility
@@ -403,6 +488,18 @@ def loop_probe(m: ms.MapState, bow_db, active, centroids, idf, kf_id,
 
 class LoopCloser:
     """Host-side loop-detection state machine + correction driver."""
+
+    # staged-verification thresholds (DetectCommonRegionsFromBoW,
+    # LoopClosing.cc:583-589: nBoWMatches=20, nBoWInliers=15, nSim3Inliers=20,
+    # nProjMatches=50, nProjOptMatches=80 at the upstream 1250-feature
+    # budget; the projection counts scale with the configured budget, with
+    # floors so a small-budget rig still verifies meaningfully)
+    RANSAC_INLIERS = 15          # nBoWInliers
+    REF_FEAT_BUDGET = 1250.0
+    PROJ_MATCHES = 50            # nProjMatches (at REF_FEAT_BUDGET)
+    PROJ_OPT_MATCHES = 80        # nProjOptMatches (at REF_FEAT_BUDGET)
+    PROJ_FLOOR = 20
+    PROJ_OPT_FLOOR = 25
 
     def __init__(self, cfg, place_rec, min_matches: int = 20,
                  min_inliers: int = 20, consistency_needed: int = 3,
@@ -504,14 +601,19 @@ class LoopCloser:
         exclude = covis > 0
         exclude[kf_id] = True
         exclude[max(0, kf_id - 8):kf_id + 9] = True  # temporal neighbors
-        # dynamic floor: worst covisible-neighbor score (DetectLoop)
+        # dynamic floor: worst covisible-neighbor score (DetectLoop), same
+        # >=15 covisibility-weight threshold as the fused loop_probe path
         s_all = np.asarray(self.pr.query_scores(
             m.kf_desc[kf_id], m.kf_feat_valid[kf_id])) \
             if hasattr(self.pr, "query_scores") else None
-        covis_ids = np.flatnonzero(covis > 0)
+        covis_ids = np.flatnonzero(covis >= 15)
         covis_ids = covis_ids[covis_ids != kf_id]
-        min_score = float(s_all[covis_ids].min()) \
-            if s_all is not None and len(covis_ids) else 0.0
+        if s_all is not None and len(covis_ids):
+            min_score = float(s_all[covis_ids].min())
+        else:
+            min_score = 0.0
+            Verbose.log(f"[loop] KF {kf_id}: no covisible neighbor w>=15, "
+                        "minScore floor 0")
         ids, scores = self.pr.query(m.kf_desc[kf_id], m.kf_feat_valid[kf_id],
                                     exclude_mask=jnp.asarray(exclude),
                                     n_best=n_best)
@@ -559,20 +661,40 @@ class LoopCloser:
         if self.consistency_count < self.consistency_needed:
             return m
 
-        # geometric verification: Sim3 RANSAC + refinement (bFixScale when
-        # depth or IMU makes scale observable, LoopClosing.cc:585)
+        # geometric verification cascade (DetectCommonRegionsFromBoW,
+        # LoopClosing.cc:583-800): BoW matches >= 20 -> Sim3 RANSAC >= 15
+        # inliers -> coarse projection of the loop neighborhood >= nProj ->
+        # SearchBySim3 grow + OptimizeSim3 >= 20 -> fine projection through
+        # the optimized Sim3 >= nProjOpt. The projection stages are what
+        # kill perceptual-aliasing false positives: a spurious Sim3 cannot
+        # re-project a whole neighborhood of landmarks consistently.
         fix_scale = self.fix_scale or self.inertial
+        cfg_cam = self.cfg.camera
+        fs = float(m.n_feat) / self.REF_FEAT_BUDGET
+        proj_th = max(self.PROJ_FLOOR, round(self.PROJ_MATCHES * fs))
+        proj_opt_th = max(self.PROJ_OPT_FLOOR,
+                          round(self.PROJ_OPT_MATCHES * fs))
         p_a, p_b, uv_a, uv_b, valid, idx = match_kf_landmarks(
             m, jnp.int32(kf_id), jnp.int32(cand))
         if int(jnp.sum(valid)) < self.min_matches:
             return m
         R12, t12, s12, inl, n_inl = sim3_mod.sim3_ransac(
             p_a, p_b, uv_a, uv_b, valid, cam_params, fix_scale=fix_scale)
-        if int(n_inl) < self.min_inliers:
+        if int(n_inl) < self.RANSAC_INLIERS:
+            return m
+        # coarse neighborhood reprojection gate (th=8, nProjMatches)
+        n_proj = int(project_count_sim3(
+            m, jnp.int32(kf_id), jnp.int32(cand), R12, t12, s12, cam_params,
+            cam_model=cfg_cam.model_id, img_w=cfg_cam.width,
+            img_h=cfg_cam.height, n_levels=self.cfg.orb.n_levels,
+            radius=8.0))
+        if n_proj < proj_th:
+            Verbose.log(f"[loop] {kf_id}->{cand} rejected: coarse "
+                        f"reprojection {n_proj} < {proj_th}")
+            self.consistency_count = 0
             return m
         # grow correspondences through the RANSAC Sim3 before the final
         # refinement (SearchBySim3, ORBmatcher.cc:1464 / LoopClosing.cc:640)
-        cfg_cam = self.cfg.camera
         p_a, p_b, uv_a, uv_b, valid = search_by_sim3(
             m, jnp.int32(kf_id), jnp.int32(cand), R12, t12, s12, cam_params,
             idx, inl & valid, cam_model=cfg_cam.model_id,
@@ -582,6 +704,18 @@ class LoopCloser:
             R12, t12, s12, p_a, p_b, uv_a, uv_b, valid, cam_params,
             fix_scale=fix_scale)
         if int(n_inl) < self.min_inliers:
+            return m
+        # fine neighborhood reprojection through the OPTIMIZED Sim3 (th=5,
+        # nProjOptMatches — LoopClosing.cc:791)
+        n_proj2 = int(project_count_sim3(
+            m, jnp.int32(kf_id), jnp.int32(cand), R12, t12, s12, cam_params,
+            cam_model=cfg_cam.model_id, img_w=cfg_cam.width,
+            img_h=cfg_cam.height, n_levels=self.cfg.orb.n_levels,
+            radius=5.0))
+        if n_proj2 < proj_opt_th:
+            Verbose.log(f"[loop] {kf_id}->{cand} rejected: fine "
+                        f"reprojection {n_proj2} < {proj_opt_th}")
+            self.consistency_count = 0
             return m
 
         if self.inertial:

@@ -41,8 +41,15 @@ class VIWindowResult(NamedTuple):
     kf_R: jnp.ndarray   # (C,3,3) updated window poses
     kf_t: jnp.ndarray   # (C,3)
     v: jnp.ndarray      # (C,3) world velocities
-    bg: jnp.ndarray     # (3,) window gyro bias
-    ba: jnp.ndarray     # (3,) window accel bias
+    bg: jnp.ndarray     # (3,) window gyro bias — or (C,3) per-KF bias
+    ba: jnp.ndarray     # (3,) window accel bias — or (C,3)
+
+    @property
+    def last_bias(self):
+        """(bg, ba) of the newest keyframe regardless of bias mode."""
+        if self.bg.ndim == 1:
+            return self.bg, self.ba
+        return self.bg[-1], self.ba[-1]
 
 
 def _closed_form_velocities(Rwb, p, pres, bg, ba, g_w):
@@ -56,14 +63,16 @@ def _closed_form_velocities(Rwb, p, pres, bg, ba, g_w):
     return jnp.concatenate([v1, v_last[None]], axis=0)
 
 
-@partial(jax.jit, static_argnames=("bf", "cam_model", "n_iters", "n_levels"))
+@partial(jax.jit, static_argnames=("bf", "cam_model", "n_iters", "n_levels",
+                                   "per_kf_bias"))
 def local_inertial_ba(m: ms.MapState, window_ids, fixed_mask,
                       pres: imu_mod.Preintegrated, pre_valid,
                       bg0, ba0, cam_params, bf: float,
                       cam_model: int = cameras.PINHOLE,
                       n_iters: int = 8, n_levels: int = 8,
                       R_bc=None, t_bc=None,
-                      v_init=None, v_init_valid=None) -> VIWindowResult:
+                      v_init=None, v_init_valid=None,
+                      per_kf_bias: bool = False) -> VIWindowResult:
     """Windowed VI-BA over keyframes `window_ids` (C,), landmarks fixed.
 
     pres: stacked preintegrations for the C-1 consecutive gaps; pre_valid
@@ -73,6 +82,13 @@ def local_inertial_ba(m: ms.MapState, window_ids, fixed_mask,
     velocities (MapState.kf_v — the reference KeyFrames carry velocity,
     KeyFrame.h:206) seeding the solve; slots without one fall back to the
     closed-form construction.
+
+    per_kf_bias=True switches to the reference's exact vertex structure
+    (Optimizer.cc:2405: VertexGyroBias/VertexAccBias PER keyframe, tied by
+    EdgeGyroRW/EdgeAccRW whitened with the per-gap walk covariance) — a
+    15C-parameter dense solve instead of 9C+6. The shared-window bias is
+    the fast default; tests/test_viba_staging.py quantifies the gap under
+    a time-varying bias (the one regime where sharing loses).
     """
     if R_bc is None:
         R_bc = jnp.eye(3, dtype=jnp.float32)
@@ -118,19 +134,33 @@ def local_inertial_ba(m: ms.MapState, window_ids, fixed_mask,
     free_pose = (cam_ok & (~fixed_mask)).astype(jnp.float32)      # (C,)
     free_vel = cam_ok.astype(jnp.float32)
 
-    n_par = 9 * C + 6
+    n_par = 15 * C if per_kf_bias else 9 * C + 6
+    if per_kf_bias:
+        # per-gap bias-walk whitening (EdgeGyroRW/EdgeAccRW information =
+        # the inverse accumulated walk covariance of the gap)
+        info_bg = jnp.linalg.inv(pres.cov_bias[:, :3, :3] + 1e-4 * jnp.eye(3))
+        info_ba = jnp.linalg.inv(pres.cov_bias[:, 3:, 3:] + 1e-2 * jnp.eye(3))
+        Lbg_rw = jnp.linalg.cholesky(info_bg)                      # (C-1,3,3)
+        Lba_rw = jnp.linalg.cholesky(info_ba)
 
     def unpack(x):
-        dkf = x[:9 * C].reshape(C, 9)
-        dkf = jnp.concatenate([dkf[:, :6] * free_pose[:, None],
-                               dkf[:, 6:9] * free_vel[:, None]], axis=1)
-        dbg = x[9 * C:9 * C + 3]
-        dba = x[9 * C + 3:]
-        dR, dt = jax.vmap(lambda d: lie.se3_exp(d[:6]))(dkf)
+        if per_kf_bias:
+            dkf = x.reshape(C, 15)
+            dpose = dkf[:, :6] * free_pose[:, None]
+            dvel = dkf[:, 6:9] * free_vel[:, None]
+            bg = bg0 + dkf[:, 9:12] * free_vel[:, None]            # (C,3)
+            ba = ba0 + dkf[:, 12:15] * free_vel[:, None]
+        else:
+            dkf9 = x[:9 * C].reshape(C, 9)
+            dpose = dkf9[:, :6] * free_pose[:, None]
+            dvel = dkf9[:, 6:9] * free_vel[:, None]
+            bg = bg0 + x[9 * C:9 * C + 3]                          # (3,)
+            ba = ba0 + x[9 * C + 3:]
+        dR, dt = jax.vmap(lambda d: lie.se3_exp(d))(dpose)
         R, t = jax.vmap(lie.se3_compose)(dR, dt, R0, t0)
         R = jax.vmap(lie.normalize_rotation)(R)
-        v = v0 + dkf[:, 6:9]
-        return R, t, v, bg0 + dbg, ba0 + dba
+        v = v0 + dvel
+        return R, t, v, bg, ba
 
     def residuals(x):
         R, t, v, bg, ba = unpack(x)
@@ -155,16 +185,31 @@ def local_inertial_ba(m: ms.MapState, window_ids, fixed_mask,
             lambda Ri_, ti_: imu_mod.body_from_cam(Ri_, ti_, R_bc, t_bc))(R, t)
 
         def gap_res(i):
+            bg_i = bg[i] if per_kf_bias else bg
+            ba_i = ba[i] if per_kf_bias else ba
             r = imu_mod.inertial_residual(
-                Rwb[i], v[i], p[i], Rwb[i + 1], v[i + 1], p[i + 1], bg, ba,
-                jax.tree_util.tree_map(lambda a: a[i], pres))
+                Rwb[i], v[i], p[i], Rwb[i + 1], v[i + 1], p[i + 1],
+                bg_i, ba_i, jax.tree_util.tree_map(lambda a: a[i], pres))
             return (L9[i].T @ r) * gap_ok[i]
         r_imu = jax.vmap(gap_res)(jnp.arange(C - 1)).reshape(-1)
 
-        # window-bias prior (the RW edges of the reference tie biases to the
-        # incoming estimate; shared-bias equivalent: prior on the delta)
-        r_bias = jnp.concatenate([(bg - bg0) * jnp.sqrt(1e2),
-                                  (ba - ba0) * jnp.sqrt(1e1)])
+        if per_kf_bias:
+            # EdgeGyroRW/EdgeAccRW between consecutive window biases,
+            # whitened by the gap's walk covariance; prior ties the first
+            # bias to the incoming estimate
+            def rw_res(i):
+                return jnp.concatenate([
+                    Lbg_rw[i].T @ (bg[i + 1] - bg[i]),
+                    Lba_rw[i].T @ (ba[i + 1] - ba[i])]) * gap_ok[i]
+            r_rw = jax.vmap(rw_res)(jnp.arange(C - 1)).reshape(-1)
+            r_bias = jnp.concatenate([
+                (bg[0] - bg0) * jnp.sqrt(1e2),
+                (ba[0] - ba0) * jnp.sqrt(1e1), r_rw])
+        else:
+            # window-bias prior (the RW edges of the reference tie biases to
+            # the incoming estimate; shared-bias equivalent: delta prior)
+            r_bias = jnp.concatenate([(bg - bg0) * jnp.sqrt(1e2),
+                                      (ba - ba0) * jnp.sqrt(1e1)])
         return jnp.concatenate([r_vis, r_imu, r_bias])
 
     def it(x, _):

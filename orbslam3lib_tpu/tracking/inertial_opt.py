@@ -64,7 +64,10 @@ def pose_inertial_optimization(cur: InertialFrameState,
     frame) is fixed (PoseInertialOptimizationLastKeyFrame semantics). R_bc /
     t_bc: IMU-from-camera extrinsic (identity when omitted).
 
-    Returns (state, inlier_mask, n_inliers).
+    Returns (state, inlier_mask, n_inliers, H_marg) where H_marg is the
+    15x15 Gauss-Newton Hessian at the solution — the seed of the
+    ConstraintPoseImu chain consumed by
+    pose_inertial_optimization_last_frame on subsequent frames.
     """
     if R_bc is None:
         R_bc = jnp.eye(3, dtype=jnp.float32)
@@ -135,7 +138,105 @@ def pose_inertial_optimization(cur: InertialFrameState,
     (dx, inlier), _ = jax.lax.scan(iteration, (dx0, inl0), None, length=n_iters)
     st = _apply_delta(cur, dx)
     inlier_mask = (inlier > 0) & obs.valid
-    return st, inlier_mask, jnp.sum(inlier_mask.astype(jnp.int32))
+    # marginal information of the solved state (the next frame's
+    # ConstraintPoseImu): Gauss-Newton H = J^T J at the solution
+    J_fin = jax.jacfwd(lambda d: residuals(d, inlier)[0])(dx)
+    H_marg = J_fin.T @ J_fin
+    return st, inlier_mask, jnp.sum(inlier_mask.astype(jnp.int32)), H_marg
+
+
+@partial(jax.jit, static_argnames=("cam_model", "n_iters"))
+def pose_inertial_optimization_last_frame(
+        cur: InertialFrameState, last: InertialFrameState,
+        prior_H, pre: imu_mod.Preintegrated, obs: PoseObs, cam_params,
+        cam_model: int = cameras.PINHOLE, bf: float = 0.0,
+        n_iters: int = 10, lm_lambda: float = 1e-3,
+        R_bc=None, t_bc=None):
+    """PoseInertialOptimizationLastFrame (Optimizer.cc:4918): a TWO-vertex
+    solve over [last frame state, current frame state] (30 dof). The last
+    frame is anchored by the ConstraintPoseImu marginalization prior
+    (G2oTypes.h:706 EdgePriorPoseImu: its own state mean `last` weighted by
+    the 15x15 information `prior_H` recovered from the previous solve); the
+    current frame carries the visual edges; an inertial edge + bias
+    random-walk edges connect the two. On return the last-frame block is
+    marginalized out by Schur complement — the returned H_marg is the next
+    frame's prior, so information propagates down the frame chain instead
+    of being forgotten at every step.
+
+    Returns (cur_state, inlier_mask, n_inliers, H_marg(15,15)).
+    """
+    if R_bc is None:
+        R_bc = jnp.eye(3, dtype=jnp.float32)
+    if t_bc is None:
+        t_bc = jnp.zeros(3, jnp.float32)
+    info9 = jnp.linalg.inv(pre.cov + 1e-8 * jnp.eye(9))
+    L9 = jnp.linalg.cholesky(info9)
+    chi2_th = jnp.where(obs.is_stereo, CHI2_STEREO, CHI2_MONO)
+    delta = jnp.where(obs.is_stereo, DELTA_STEREO, DELTA_MONO)
+    info_bg = jnp.linalg.inv(pre.cov_bias[:3, :3] + 1e-4 * jnp.eye(3))
+    info_ba = jnp.linalg.inv(pre.cov_bias[3:, 3:] + 1e-2 * jnp.eye(3))
+    Lbg = jnp.linalg.cholesky(info_bg)
+    Lba = jnp.linalg.cholesky(info_ba)
+    Hp = 0.5 * (prior_H + prior_H.T)
+    L_prior = jnp.linalg.cholesky(Hp + 1e-4 * jnp.eye(15))
+
+    def residuals(dx, inlier):
+        st_l = _apply_delta(last, dx[:15])
+        st_c = _apply_delta(cur, dx[15:])
+        # visual edges on the current frame
+        p_c = lie.se3_apply(st_c.R, st_c.t, obs.p_world)
+        uv_hat = cameras.project(cam_model, cam_params, p_c)
+        z = p_c[..., 2]
+        z_safe = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+        r2 = uv_hat - obs.uv
+        r3 = jnp.where(obs.is_stereo, uv_hat[..., 0] - bf / z_safe - obs.u_right, 0.0)
+        r_vis = jnp.concatenate([r2, r3[..., None]], axis=-1)
+        chi2 = jnp.sum(r_vis * r_vis, axis=-1) * obs.inv_sigma2
+        w_h = huber_weight(chi2, delta)
+        behind = z <= 0.05
+        w = jax.lax.stop_gradient(
+            obs.inv_sigma2 * w_h * inlier * obs.valid * (~behind))
+        r_vis = r_vis * jnp.sqrt(w)[:, None]
+        # inertial edge last -> current
+        R1, p1 = imu_mod.body_from_cam(st_l.R, st_l.t, R_bc, t_bc)
+        R2_, p2 = imu_mod.body_from_cam(st_c.R, st_c.t, R_bc, t_bc)
+        r_imu = L9.T @ imu_mod.inertial_residual(
+            R1, st_l.v, p1, R2_, st_c.v, p2, st_l.bg, st_l.ba, pre)
+        # bias random walk between the frames
+        r_bg = Lbg.T @ (st_c.bg - st_l.bg)
+        r_ba = Lba.T @ (st_c.ba - st_l.ba)
+        # marginalization prior on the LAST frame (its mean is `last`, i.e.
+        # the dx[:15] chart origin — residual is the whitened delta itself)
+        r_prior = L_prior.T @ dx[:15]
+        return (jnp.concatenate([r_vis.reshape(-1), r_imu, r_bg, r_ba,
+                                 r_prior]), chi2, behind)
+
+    def iteration(carry, _):
+        dx, inlier = carry
+        r, chi2, behind = residuals(dx, inlier)
+        J = jax.jacfwd(lambda d: residuals(d, inlier)[0])(dx)   # (M,30)
+        H = J.T @ J
+        g = J.T @ r
+        H = H + lm_lambda * jnp.diag(jnp.diag(H)) + 1e-6 * jnp.eye(30)
+        dx2 = dx - jnp.linalg.solve(H, g)
+        _, chi2n, behindn = residuals(dx2, inlier)
+        inlier = ((chi2n <= chi2_th) & (~behindn)).astype(dx.dtype)
+        return (dx2, inlier), None
+
+    dx0 = jnp.zeros(30, jnp.float32)
+    inl0 = jnp.ones(obs.valid.shape, jnp.float32)
+    (dx, inlier), _ = jax.lax.scan(iteration, (dx0, inl0), None,
+                                   length=n_iters)
+    st_c = _apply_delta(cur, dx[15:])
+    inlier_mask = (inlier > 0) & obs.valid
+    # Schur-marginalize the last-frame block: H_cur = Hcc - Hcl Hll^-1 Hlc
+    J_fin = jax.jacfwd(lambda d: residuals(d, inlier)[0])(dx)
+    H = J_fin.T @ J_fin
+    Hll = H[:15, :15] + 1e-6 * jnp.eye(15)
+    Hcc = H[15:, 15:]
+    Hcl = H[15:, :15]
+    H_marg = Hcc - Hcl @ jnp.linalg.solve(Hll, Hcl.T)
+    return st_c, inlier_mask, jnp.sum(inlier_mask.astype(jnp.int32)), H_marg
 
 
 @partial(jax.jit, static_argnames=("n_iters", "opt_scale"))

@@ -108,8 +108,14 @@ def search_by_projection(mp_pos, mp_desc, mp_valid, mp_normal, mp_min_dist,
     vis = vis * step01(uv[..., 0] + 1.0) * step01(img_w - uv[..., 0])
     vis = vis * step01(uv[..., 1] + 1.0) * step01(img_h - uv[..., 1])
     vis = vis * step01((z - 0.1) * 10.0)
-    vis = vis * step01((dist - 0.8 * mp_min_dist) * 8.0)
-    vis = vis * step01((1.2 * mp_max_dist - dist) * 8.0)
+    # landmarks without scale-band info (max_dist <= 0 or the 1e9 unset
+    # sentinel of empty_map: deserialized or externally-built maps) skip the
+    # band gate and predict level 0
+    band = (mp_max_dist > 0) & (mp_max_dist < 1e8)
+    has_band = band.astype(jnp.float32)
+    vis = vis * (1.0 - has_band
+                 + has_band * step01((dist - 0.8 * mp_min_dist) * 8.0)
+                 * step01((1.2 * mp_max_dist - dist) * 8.0))
     if check_view_angle:
         Rw, cw = lie.se3_inverse(R, t)
         view = mp_pos - cw
@@ -117,7 +123,7 @@ def search_by_projection(mp_pos, mp_desc, mp_valid, mp_normal, mp_min_dist,
         cosang = jnp.sum(view * mp_normal, axis=-1)
         vis = vis * step01((cosang - 0.5) * 8.0)
 
-    lvl = predicted_level(dist, mp_max_dist, n_levels)
+    lvl = jnp.where(band, predicted_level(dist, mp_max_dist, n_levels), 0)
     sf = jnp.asarray(scale_factors(n_levels))
     r_scaled = radius * sf[lvl]                   # (P,)
 

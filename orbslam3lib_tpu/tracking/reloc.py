@@ -190,6 +190,52 @@ def track_reference_kf(m, kf_id, R0, t0, feat_xy, feat_level, feat_desc,
     return R, t, n_inl
 
 
+@partial(jax.jit, static_argnames=("n_best", "n_covis"))
+def detect_reloc_candidates(m, bow_db, active, q, n_best: int = 3,
+                            n_covis: int = 10):
+    """KeyFrameDatabase::DetectRelocalizationCandidates
+    (KeyFrameDatabase.cc): candidate gating beyond a plain top-N score
+    query. (1) shared-words gate: only keyframes sharing >= 0.8x the
+    maximum common-word count with the query stay candidates; (2)
+    covisibility accumulation: each candidate's score is accumulated over
+    its best covisible neighbors, groups below 0.75x the best accumulated
+    score are dropped, and each surviving group is represented by its
+    best-scoring member. One fused executable: word intersection + L1
+    scores + the covisibility matmul.
+
+    Returns (ids (n_best,), acc_scores (n_best,)), ids -1-padded."""
+    from ..models import map_state as ms
+    from ..models.vocabulary import l1_scores
+
+    K = m.max_kf
+    s = l1_scores(bow_db, q)
+    common = (bow_db > 0).astype(jnp.float32) @ (q > 0).astype(jnp.float32)
+    act = active & m.kf_valid
+    max_c = jnp.max(jnp.where(act, common, 0.0))
+    cand = act & (common >= 0.8 * max_c) & (common > 0)
+    s_c = jnp.where(cand, s, 0.0)
+
+    O = ms.observation_matrix(m)                    # (K, P)
+    C = O @ O.T
+    C = C * (1.0 - jnp.eye(K, dtype=C.dtype))       # zero the diagonal
+    top_w, top_i = jax.lax.top_k(C, n_covis)        # best covisibles per KF
+    nb_ok = (top_w > 0).astype(jnp.float32)
+    acc = s_c + jnp.sum(s_c[top_i] * nb_ok, axis=1)
+    acc = jnp.where(cand, acc, -1.0)
+    best_acc = jnp.max(acc)
+    keep = cand & (acc >= 0.75 * best_acc)
+
+    # each group's best-scoring member (the reference's pBestKF)
+    grp = jnp.concatenate([jnp.arange(K)[:, None], top_i], axis=1)  # (K, 1+n)
+    grp_s = jnp.concatenate([s_c[:, None], s_c[top_i] * nb_ok], axis=1)
+    best_member = grp[jnp.arange(K), jnp.argmax(grp_s, axis=1)]
+
+    acc_k = jnp.where(keep, acc, -1.0)
+    top_acc, top_gi = jax.lax.top_k(acc_k, n_best)
+    ids = jnp.where(top_acc > 0, best_member[top_gi], -1)
+    return ids.astype(jnp.int32), top_acc
+
+
 def make_place_recognition(voc, max_kf: int, prefer_native: bool = True):
     """Factory: the native C++ inverted-file database when available (the
     reference's KeyFrameDatabase is host C++ — SURVEY.md §7 flags BoW descent

@@ -379,6 +379,35 @@ class Tracker:
         self._dev_tbc = None          # cached (R_bc, t_bc) device arrays
         self._dev_threshold = None    # (host value, device scalar)
         self._probe_pending: List = []  # (kf_id, loop-probe device handle)
+        # stereo rectification (Settings.cc:485 precomputeRectificationMaps):
+        # raw distorted stereo input is remapped on device each frame; the
+        # EFFECTIVE camera becomes the shared rectified pinhole, the IMU
+        # extrinsic rotates with the left eye
+        self._rect_maps = None
+        if sensor == "stereo" and cfg.stereo.rectify and not cfg.stereo.fisheye:
+            from ..config import CameraConfig
+            from ..utils.rectify import stereo_rectify
+            cam2 = cfg.camera2 or cfg.camera
+            R_lr, t_lr = cfg.stereo_extrinsics
+            rr = stereo_rectify(cfg.camera.params, cam2.params,
+                                cfg.camera.model_id, cam2.model_id,
+                                R_lr, t_lr, cfg.camera.width,
+                                cfg.camera.height)
+            self._rect_maps = jnp.asarray(rr.maps)
+            fxn, fyn, cxn, cyn = [float(x) for x in rr.new_params]
+            cfg.camera = CameraConfig(model="pinhole", fx=fxn, fy=fyn,
+                                      cx=cxn, cy=cyn,
+                                      width=cfg.camera.width,
+                                      height=cfg.camera.height)
+            cfg.camera2 = None
+            cfg.stereo.baseline = rr.baseline
+            cfg.stereo.R_lr = None
+            cfg.stereo.t_lr = None
+            R_bc = np.asarray(cfg.imu.R_bc, np.float64).reshape(3, 3)
+            cfg.imu.R_bc = tuple(
+                (R_bc @ rr.R_rect[0].T).reshape(-1).tolist())
+            Verbose.log(f"[tracker] rectification maps ready (f={fxn:.1f}, "
+                        f"b={rr.baseline:.4f})")
         mc = cfg.map
         self.atlas = Atlas(mc.max_kf, mc.max_mp, cfg.orb.max_kp)
         self.threshold = ThresholdController(
@@ -452,6 +481,9 @@ class Tracker:
                 target=self._mapper_loop, daemon=True)
             self._mapper_thread.start()
         self.anchor_state: Optional[InertialFrameState] = None
+        # ConstraintPoseImu marginalization prior: (state, 15x15 H) from the
+        # previous frame's inertial solve; None right after a keyframe
+        self._inertial_prior = None
 
     # -- plumbing -----------------------------------------------------------
     @property
@@ -633,8 +665,13 @@ class Tracker:
         want_canvas = (self.sensor == "stereo" and cfg.stereo.sad_refine
                        and not cfg.stereo.fisheye)
         with self.timer.stage("extract"):
+            img_dev = jnp.asarray(img)
+            if self._rect_maps is not None:
+                from ..utils.rectify import remap_bilinear
+                img_dev = remap_bilinear(img_dev.astype(jnp.float32),
+                                         self._rect_maps)
             ex = extract_orb_stereo(
-                jnp.asarray(img), jnp.float32(self.threshold.t),
+                img_dev, jnp.float32(self.threshold.t),
                 max_kp=cfg.orb.max_kp, n_levels=cfg.orb.n_levels,
                 return_canvas=want_canvas)
             feats, canvas = ex if want_canvas else (ex, None)
@@ -747,9 +784,14 @@ class Tracker:
                                        jnp.float32(self.threshold.t))
             Rp, tp, Rv, tv, prev_mp, prev_ang = self._chain
             cam2_params, R_lr, t_lr = self._dev_static
+            imgs_dev = jnp.asarray(np.stack(imgs))
+            if self._rect_maps is not None:
+                from ..utils.rectify import remap_bilinear
+                imgs_dev = remap_bilinear(imgs_dev.astype(jnp.float32),
+                                          self._rect_maps)
             carry, ys = _frame_step_chunk(
                 self.map, Rp, tp, Rv, tv, prev_mp, prev_ang,
-                jnp.asarray(np.stack(imgs)),
+                imgs_dev,
                 self._dev_threshold[1], self.cam_params,
                 cam2_params, R_lr, t_lr, bf=float(cfg.bf),
                 min_z=float(cfg.stereo.min_z),
@@ -942,16 +984,27 @@ class Tracker:
         cfg = self.cfg
         if self._nkf >= self.map.max_kf - 1:
             return False
+        # mapper-idle condition (Tracking.cc:3125: c1b requires
+        # bLocalMappingIdle; a busy mapper only accepts a stereo keyframe
+        # when its queue is short) — prevents KF spam under mapper backlog
+        queue = self._map_queue
+        mapper_idle = queue is None or queue.unfinished_tasks == 0
         frames_since = frame_id - self.last_kf_frame
         c1a = frames_since >= cfg.tracker.max_frames_between_kf
-        c1b = frames_since >= max(cfg.tracker.min_frames_between_kf, 1)
+        c1b = frames_since >= max(cfg.tracker.min_frames_between_kf, 1) \
+            and mapper_idle
         c1c = self.sensor == "stereo" and \
             (n_close_tracked < cfg.tracker.close_tracked_th
              and n_close_untracked > cfg.tracker.close_untracked_th)
         ratio = cfg.tracker.kf_ref_ratio if self.sensor == "stereo" else 0.9
         c2 = (n_inliers < ratio * max(self.ref_kf_matches, 1)
               and n_inliers > 15)
-        return bool(((c1a or c1b or c1c) and c2) or (c1c and c1b))
+        want = bool(((c1a or c1b or c1c) and c2) or (c1c and c1b))
+        if want and not mapper_idle and self.sensor == "stereo":
+            # stereo path under load: accept only with a short queue
+            # (Tracking.cc: KeyframesInQueue() < 3)
+            want = queue.unfinished_tasks < 3
+        return want
 
     def _create_keyframe_from_record(self, rec, c, R, t, n_inl):
         ts, fid = rec[0][c], rec[1][c]
@@ -1002,7 +1055,14 @@ class Tracker:
 
     def _initialize_stereo(self, feats, u_r, depth, ts, n_feat) -> dict:
         cfg = self.cfg
-        if n_feat < cfg.tracker.min_init_features:
+        # init gate scaled to the regulated feature budget: the reference's
+        # 500 (Tracking.cc:2393) assumes a ~1000-feature budget; with the
+        # threshold controller holding the count at target_features +- band,
+        # an absolute 500 would be unreachable after a mid-sequence map
+        # respawn and recovery would deadlock in NOT_INITIALIZED forever
+        gate = min(cfg.tracker.min_init_features,
+                   max(50, round(0.5 * cfg.orb.target_features)))
+        if n_feat < gate:
             return {"state": self.state, "n_inliers": 0}
         R = jnp.eye(3, dtype=jnp.float32)
         t = jnp.zeros(3, dtype=jnp.float32)
@@ -1139,13 +1199,25 @@ class Tracker:
             bg, ba = self.imu_bias
             cur = InertialFrameState(R=R, t=t, v=v_pred, bg=bg, ba=ba)
             R_bc, t_bc = self._tbc
-            st, inl_m, n2 = pose_inertial_optimization(
-                cur, self.anchor_state, self._pre_frame, obs, self.cam_params,
-                cam_model=cfg.camera.model_id, bf=float(cfg.bf),
-                R_bc=R_bc, t_bc=t_bc)
+            # ConstraintPoseImu chain (Optimizer.cc:4918): frames after the
+            # last keyframe carry the previous frame's marginalized
+            # information as a prior; the chain resets at each keyframe
+            prior = self._inertial_prior
+            if prior is not None:
+                from .inertial_opt import pose_inertial_optimization_last_frame
+                st, inl_m, n2, H_marg = pose_inertial_optimization_last_frame(
+                    cur, prior[0], prior[1], self._pre_frame, obs,
+                    self.cam_params, cam_model=cfg.camera.model_id,
+                    bf=float(cfg.bf), R_bc=R_bc, t_bc=t_bc)
+            else:
+                st, inl_m, n2, H_marg = pose_inertial_optimization(
+                    cur, self.anchor_state, self._pre_frame, obs,
+                    self.cam_params, cam_model=cfg.camera.model_id,
+                    bf=float(cfg.bf), R_bc=R_bc, t_bc=t_bc)
             R, t = st.R, st.t
             self.frame_state_v = st.v
             self.imu_bias = (st.bg, st.ba)
+            self._inertial_prior = (st, H_marg)
             n_inliers = max(n_inliers, int(n2))
         else:
             # finite-difference velocity estimate for the IMU state
@@ -1213,12 +1285,23 @@ class Tracker:
             self.state = RECENTLY_LOST
             self.lost_since = ts
             Verbose.log("[tracker] tracking lost, RECENTLY_LOST")
-        # try relocalization against the keyframe database
+        # try relocalization against the keyframe database, with the
+        # reference's candidate gating (DetectRelocalizationCandidates:
+        # common-words ratio + covisibility-accumulated scores) when the
+        # dense database exposes its arrays; plain top-3 otherwise
         n_rel = 0
         if self.place_rec is not None:
-            from .reloc import relocalize_against_kf
-            ids, scores = self.place_rec.query(feats.desc[0], feats.valid[0],
-                                               n_best=3)
+            from .reloc import (PlaceRecognition, detect_reloc_candidates,
+                                relocalize_against_kf)
+            if isinstance(self.place_rec, PlaceRecognition):
+                from ..models.vocabulary import bow_from_descriptors
+                q = bow_from_descriptors(self.place_rec.voc, feats.desc[0],
+                                         feats.valid[0])
+                ids, scores = detect_reloc_candidates(
+                    self.map, self.place_rec.bow_db, self.place_rec.active, q)
+            else:
+                ids, scores = self.place_rec.query(
+                    feats.desc[0], feats.valid[0], n_best=3)
             for k in np.asarray(ids):
                 k = int(k)
                 if k < 0:
@@ -1270,6 +1353,7 @@ class Tracker:
         self._next_scale_ref_ts = None
         self._kf_preints, self._kf_times = [], []
         self._gap_by_dst, self._prev_note_kf_id = {}, -1
+        self._inertial_prior = None
 
     def _spawn_new_map(self):
         """CreateMapInAtlas (Tracking.cc:2720): retire the current map +
@@ -1278,7 +1362,8 @@ class Tracker:
         # retire the current map's BoW database into the merger so
         # the new map can later be merged back (MergeLocal detection)
         if self.map_merger is not None and self.place_rec is not None:
-            self.map_merger.archive(self.atlas.current, self.place_rec)
+            self.map_merger.archive(self.atlas.current, self.place_rec,
+                                    gaps=dict(self._gap_by_dst))
         self.atlas.create_new_map()
         self.stats["n_new_maps"] += 1
         if self.place_rec is not None:
@@ -1514,12 +1599,19 @@ class Tracker:
                     self.map, jnp.int32(kid), nbrs[i], self.cam_params,
                     cam_model=cfg.camera.model_id, n_levels=cfg.orb.n_levels)
             # SearchInNeighbors fuse, both directions (LocalMapping.cc:726).
-            # Candidate set = ALL valid landmarks, not just the covisible
-            # neighbors' — one (P, F) MXU matmul makes the restriction
-            # pointless on TPU, and it repairs covisibility when pipelined
-            # keyframes carried stale-map bindings (duplicate landmarks)
+            # Candidate set = landmarks observed by the covisible neighbors
+            # (the reference's restriction — an aliasing guard: a distant
+            # landmark with a similar descriptor must not be merged in)
+            # PLUS recently-spawned landmarks (mp_first_kf within the last 8
+            # KFs): with the pipelined front end, frames bind against a
+            # <=pipeline-frames-stale map, so the duplicates that need
+            # repairing are exactly the recent spawns
+            nbr_self = jnp.concatenate(
+                [nbrs, jnp.asarray([kid], jnp.int32)])
+            fuse_cand = lm_ops.observed_mp_mask(self.map, nbr_self) | \
+                (self.map.mp_first_kf >= kid - 8)
             self.map, _ = lm_ops.fuse_into_keyframe(
-                self.map, jnp.int32(kid), self.map.mp_valid, self.cam_params,
+                self.map, jnp.int32(kid), fuse_cand, self.cam_params,
                 cam_model=cfg.camera.model_id, img_w=cfg.camera.width,
                 img_h=cfg.camera.height, n_levels=cfg.orb.n_levels)
             own = lm_ops.observed_mp_mask(
@@ -1571,6 +1663,17 @@ class Tracker:
                         self.stats["n_map_merges"] += 1
                         self._n_kf_host = None
                         self._rebuild_place_rec()
+                        # MergeInertialBA (Optimizer.cc:3985): weld the two
+                        # inertial chains with velocity/bias-consistent VI-BA
+                        # over the seam; the old map's preintegration
+                        # registry (archived at spawn, remapped by the
+                        # merger) re-enters the live gap registry
+                        lmrg = self.map_merger.last_merge
+                        if lmrg is not None and cfg.use_imu and self.imu_ready:
+                            self._gap_by_dst.update(lmrg["gaps"])
+                            self._merge_inertial_ba(lmrg["kf_cur"],
+                                                    lmrg["kf_old"])
+                        self.map_merger.last_merge = None
                         if not self._in_mapper_thread:
                             self.pose = (self.map.kf_R[kid],
                                          self.map.kf_t[kid])
@@ -1612,15 +1715,7 @@ class Tracker:
         C = window_cap if window_cap is not None else cfg.ba.window_size + 1
         # longest consecutive chain of KFs ending at kf_id whose gaps all
         # have registered preintegrations (merges/new maps break the chain)
-        sel = [kf_id]
-        k = kf_id
-        while len(sel) < C:
-            src = self._gap_by_dst.get(k, (None, None))[0]
-            if src != k - 1 or k - 1 < 0:
-                break
-            k -= 1
-            sel.append(k)
-        sel.reverse()
+        sel = self._chain_back(kf_id, C)
         if len(sel) < 3:
             return
         ids = np.full(C, -1, np.int32)
@@ -1645,19 +1740,91 @@ class Tracker:
             cam_model=cfg.camera.model_id,
             n_iters=n_iters if n_iters is not None else cfg.ba.n_iters,
             n_levels=cfg.orb.n_levels, R_bc=R_bc, t_bc=t_bc,
-            v_init=v_init, v_init_valid=v_init_valid)
+            v_init=v_init, v_init_valid=v_init_valid,
+            per_kf_bias=bool(cfg.ba.per_kf_bias))
         self.map = apply_vi_window(self.map, jnp.asarray(ids),
                                    jnp.asarray(fixed), res)
-        self.imu_bias = (res.bg, res.ba)
+        # per-KF bias mode: take the NEWEST VALID window row (padded slots
+        # beyond len(sel) never moved off bg0)
+        self.imu_bias = (res.bg, res.ba) if res.bg.ndim == 1 else             (res.bg[len(sel) - 1], res.ba[len(sel) - 1])
         if not self._in_mapper_thread:
             # per-frame state refresh only when mapping runs inline — on the
             # mapper thread the tracker has already moved past this KF
             last = len(sel) - 1
             self.frame_state_v = res.v[last]
             self.pose = (self.map.kf_R[kf_id], self.map.kf_t[kf_id])
+            bg_l, ba_l = self.imu_bias
             self.anchor_state = InertialFrameState(
                 R=self.map.kf_R[kf_id], t=self.map.kf_t[kf_id], v=res.v[last],
-                bg=res.bg, ba=res.ba)
+                bg=bg_l, ba=ba_l)
+
+    def _chain_back(self, k: int, cap: int):
+        """Longest consecutive keyframe chain ending at k whose gaps all
+        have registered preintegrations (shared by the VI window and the
+        inertial merge weld)."""
+        sel = [k]
+        while len(sel) < cap:
+            src = self._gap_by_dst.get(k, (None, None))[0]
+            if src != k - 1 or k - 1 < 0:
+                break
+            k -= 1
+            sel.append(k)
+        sel.reverse()
+        return sel
+
+    MERGE_VI_HALF = 4   # KFs per side of the inertial weld window
+
+    def _merge_inertial_ba(self, kf_cur: int, kf_old: int):
+        """MergeInertialBA (Optimizer.cc:3985 / MergeLocal2 weld): jointly
+        refine poses + velocities + bias over BOTH sides of the merge seam.
+        Inertial edges exist within each map's own preintegration chain
+        (pre_valid masks the seam pair, which has no shared IMU stream —
+        same as the reference, where the two maps' IMU histories are
+        disjoint); visual landmarks shared across the seam stitch the
+        chains geometrically."""
+        from ..mapping.vi_ba import apply_vi_window, local_inertial_ba
+        cfg = self.cfg
+        old_chain = self._chain_back(kf_old, self.MERGE_VI_HALF)
+        cur_chain = self._chain_back(kf_cur, self.MERGE_VI_HALF)
+        sel = old_chain + cur_chain
+        if len(sel) < 3:
+            return
+        C = 2 * self.MERGE_VI_HALF
+        ids = np.full(C, -1, np.int32)
+        ids[:len(sel)] = sel[:C]
+        fixed = np.zeros(C, bool)
+        # the current KF carries the Sim3-verified alignment: it anchors
+        fixed[:len(sel)] = [k == kf_cur for k in sel[:C]]
+        if not fixed.any():
+            fixed[0] = True
+        pres, pre_valid = [], np.zeros(C - 1, bool)
+        for i in range(len(sel) - 1):
+            src, pre = self._gap_by_dst.get(sel[i + 1], (None, None))
+            if src == sel[i] and pre is not None:
+                pres.append(pre)
+                pre_valid[i] = True
+            else:
+                pres.append(imu_mod.empty_preintegrated())
+        while len(pres) < C - 1:
+            pres.append(imu_mod.empty_preintegrated())
+        pres_stack = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *pres)
+        bg, ba = self.imu_bias
+        R_bc, t_bc = self._tbc
+        idsd = jnp.asarray(ids)
+        idsc = jnp.clip(idsd, 0, self.map.max_kf - 1)
+        v_init = self.map.kf_v[idsc]
+        v_init_valid = jnp.linalg.norm(v_init, axis=-1) > 1e-9
+        res = local_inertial_ba(
+            self.map, idsd, jnp.asarray(fixed), pres_stack,
+            jnp.asarray(pre_valid), bg, ba, self.cam_params,
+            float(cfg.bf), cam_model=cfg.camera.model_id,
+            n_iters=cfg.ba.n_iters, n_levels=cfg.orb.n_levels,
+            R_bc=R_bc, t_bc=t_bc, v_init=v_init,
+            v_init_valid=v_init_valid,
+            per_kf_bias=bool(cfg.ba.per_kf_bias))
+        self.map = apply_vi_window(self.map, idsd, jnp.asarray(fixed), res)
+        self.imu_bias = (res.bg, res.ba) if res.bg.ndim == 1 else             (res.bg[len(sel) - 1], res.ba[len(sel) - 1])
+        Verbose.log(f"[tracker] inertial merge weld over {len(sel)} KFs")
 
     # full window for VIBA1/VIBA2 (FullInertialBA covers every KF; the
     # fixed-shape equivalent caps the chain — 24 >= the map size at the
@@ -1761,6 +1928,9 @@ class Tracker:
                                                      self._pre_kf)
         self._prev_note_kf_id = self.last_kf_id
         self._kf_times.append(ts)
+        # keyframe boundary: the next frame optimizes against the KF
+        # (LastKeyFrame variant), not a frame-chain prior
+        self._inertial_prior = None
         bg, ba = self.imu_bias
         self._pre_kf = imu_mod.empty_preintegrated(bg, ba)
         if (not self.imu_ready and len(self._kf_preints) >= 6

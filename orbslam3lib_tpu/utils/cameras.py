@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 PINHOLE = 0
 KANNALA_BRANDT = 1
+PINHOLE_RADTAN = 2
 
 _EPS = 1e-9
 
@@ -56,6 +57,95 @@ def pinhole_project_jac(params: jnp.ndarray, p3d: jnp.ndarray) -> jnp.ndarray:
     zeros = jnp.zeros_like(x)
     row0 = jnp.stack([fx * inv_z, zeros, -fx * x * inv_z2], axis=-1)
     row1 = jnp.stack([zeros, fy * inv_z, -fy * y * inv_z2], axis=-1)
+    return jnp.stack([row0, row1], axis=-2)
+
+
+# ---------------------------------------------------------------------------
+# Pinhole + radial-tangential distortion (reference: the pinhole +
+# Camera.k1/k2/p1/p2[/k3] path — Settings.cc:485 reads distCoeffs and
+# Frame.cc:156 UndistortKeyPoints corrects measurements through
+# cv::undistortPoints. Here the distorted model is first-class: projection
+# applies the distortion closed-form and unprojection inverts it by Newton
+# iterations, so mono/RGB-D pipelines consume RAW distorted images with no
+# undistortion pass at all — every matcher/optimizer already routes through
+# project()/unproject()/project_jac(). Only rectified-stereo needs image
+# remap (utils/rectify.py).
+#
+# Parameter layout: [fx, fy, cx, cy, k1, k2, p1, p2, k3]
+# ---------------------------------------------------------------------------
+
+def _radtan_distort(k: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
+    """Apply radial-tangential distortion to normalized coords."""
+    k1, k2, p1, p2, k3 = k[0], k[1], k[2], k[3], k[4]
+    r2 = x * x + y * y
+    radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    xd = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+    yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+    return xd, yd
+
+
+def radtan_project(params: jnp.ndarray, p3d: jnp.ndarray) -> jnp.ndarray:
+    """(...,3) camera-frame points -> (...,2) distorted pixels."""
+    fx, fy, cx, cy = params[0], params[1], params[2], params[3]
+    z = p3d[..., 2]
+    inv_z = 1.0 / jnp.where(jnp.abs(z) < _EPS, _EPS, z)
+    x = p3d[..., 0] * inv_z
+    y = p3d[..., 1] * inv_z
+    xd, yd = _radtan_distort(params[4:9], x, y)
+    return jnp.stack([fx * xd + cx, fy * yd + cy], axis=-1)
+
+
+def radtan_unproject(params: jnp.ndarray, uv: jnp.ndarray,
+                     n_iter: int = 8) -> jnp.ndarray:
+    """Distorted pixels -> z=1 rays, fixed-point undistortion (the
+    cv::undistortPoints iteration: x = (xd - dx(x)) / radial(x))."""
+    fx, fy, cx, cy = params[0], params[1], params[2], params[3]
+    k = params[4:9]
+    k1, k2, p1, p2, k3 = k[0], k[1], k[2], k[3], k[4]
+    xd = (uv[..., 0] - cx) / fx
+    yd = (uv[..., 1] - cy) / fy
+
+    def body(_, xy):
+        x, y = xy
+        r2 = x * x + y * y
+        radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+        dx = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+        dy = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+        inv = 1.0 / jnp.where(jnp.abs(radial) < _EPS, _EPS, radial)
+        return ((xd - dx) * inv, (yd - dy) * inv)
+
+    x, y = jax.lax.fori_loop(0, n_iter, body, (xd, yd))
+    return jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
+
+
+def radtan_project_jac(params: jnp.ndarray, p3d: jnp.ndarray) -> jnp.ndarray:
+    """d(uv)/d(p3d): (...,2,3), closed form through the distortion."""
+    fx, fy = params[0], params[1]
+    k = params[4:9]
+    k1, k2, p1, p2, k3 = k[0], k[1], k[2], k[3], k[4]
+    X, Y, z = p3d[..., 0], p3d[..., 1], p3d[..., 2]
+    inv_z = 1.0 / jnp.where(jnp.abs(z) < _EPS, _EPS, z)
+    x = X * inv_z
+    y = Y * inv_z
+    r2 = x * x + y * y
+    radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    dradial = k1 + r2 * (2.0 * k2 + 3.0 * k3 * r2)   # d(radial)/d(r2)
+    # d(xd)/d(x), d(xd)/d(y), d(yd)/d(x), d(yd)/d(y)
+    dxd_dx = radial + x * dradial * 2.0 * x + 2.0 * p1 * y + 6.0 * p2 * x
+    dxd_dy = x * dradial * 2.0 * y + 2.0 * p1 * x + 2.0 * p2 * y
+    dyd_dx = y * dradial * 2.0 * x + 2.0 * p1 * x + 2.0 * p2 * y
+    dyd_dy = radial + y * dradial * 2.0 * y + 6.0 * p1 * y + 2.0 * p2 * x
+    # chain with d(x,y)/d(X,Y,z)
+    inv_z2 = inv_z * inv_z
+    # dx/dX = 1/z, dx/dz = -X/z^2; dy/dY = 1/z, dy/dz = -Y/z^2
+    du_dX = fx * dxd_dx * inv_z
+    du_dY = fx * dxd_dy * inv_z
+    du_dz = fx * (dxd_dx * (-X * inv_z2) + dxd_dy * (-Y * inv_z2))
+    dv_dX = fy * dyd_dx * inv_z
+    dv_dY = fy * dyd_dy * inv_z
+    dv_dz = fy * (dyd_dx * (-X * inv_z2) + dyd_dy * (-Y * inv_z2))
+    row0 = jnp.stack([du_dX, du_dY, du_dz], axis=-1)
+    row1 = jnp.stack([dv_dX, dv_dY, dv_dz], axis=-1)
     return jnp.stack([row0, row1], axis=-2)
 
 
@@ -144,15 +234,27 @@ def kb8_project_jac(params: jnp.ndarray, p3d: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def project(model: int, params, p3d):
-    return pinhole_project(params, p3d) if model == PINHOLE else kb8_project(params, p3d)
+    if model == PINHOLE:
+        return pinhole_project(params, p3d)
+    if model == PINHOLE_RADTAN:
+        return radtan_project(params, p3d)
+    return kb8_project(params, p3d)
 
 
 def unproject(model: int, params, uv):
-    return pinhole_unproject(params, uv) if model == PINHOLE else kb8_unproject(params, uv)
+    if model == PINHOLE:
+        return pinhole_unproject(params, uv)
+    if model == PINHOLE_RADTAN:
+        return radtan_unproject(params, uv)
+    return kb8_unproject(params, uv)
 
 
 def project_jac(model: int, params, p3d):
-    return pinhole_project_jac(params, p3d) if model == PINHOLE else kb8_project_jac(params, p3d)
+    if model == PINHOLE:
+        return pinhole_project_jac(params, p3d)
+    if model == PINHOLE_RADTAN:
+        return radtan_project_jac(params, p3d)
+    return kb8_project_jac(params, p3d)
 
 
 # ---------------------------------------------------------------------------

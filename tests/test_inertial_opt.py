@@ -62,7 +62,7 @@ class TestPoseInertialOpt:
         cur0 = InertialFrameState(R=Rp, t=tp, v=v2p, bg=jnp.zeros(3), ba=jnp.zeros(3))
 
         obs = make_obs(t1)
-        st, inl, n_inl = pose_inertial_optimization(cur0, anchor, pre, obs, CAM)
+        st, inl, n_inl, _ = pose_inertial_optimization(cur0, anchor, pre, obs, CAM)
         gt = state_at(t1)
         dRe = np.asarray(st.R).T @ np.asarray(gt.R)
         ang = np.arccos(np.clip((np.trace(dRe) - 1) / 2, -1, 1))
@@ -82,11 +82,47 @@ class TestPoseInertialOpt:
         cur0 = InertialFrameState(R=gt.R, t=gt.t, v=gt.v,
                                   bg=jnp.zeros(3), ba=jnp.zeros(3))
         obs = make_obs(t1, n=300, noise_px=0.2)
-        st, inl, n_inl = pose_inertial_optimization(cur0, anchor, pre, obs, CAM)
+        st, inl, n_inl, _ = pose_inertial_optimization(cur0, anchor, pre, obs, CAM)
         # pose should stay near truth
         assert np.linalg.norm(np.asarray(st.t) - np.asarray(gt.t)) < 3e-2
         # estimated gyro bias should move toward the true bias
         assert np.linalg.norm(np.asarray(st.bg) - bg_true) < np.linalg.norm(bg_true)
+
+    def test_marginalization_prior_carries_information(self):
+        """ConstraintPoseImu (G2oTypes.h:706): with few/poor visual
+        observations, a frame solved WITH the previous frame's marginal
+        prior must stay closer to the prior chain than one solved without
+        (the prior carries the accumulated certainty)."""
+        t0, t1 = 1.0, 1.05
+        anchor = state_at(t0)
+        pre = preint(t0, t1)
+        gt1 = state_at(t1)
+        # first frame: strong observations -> accurate state + its Hessian
+        obs1 = make_obs(t1, n=300, noise_px=0.2)
+        st1, _, n1, H1 = pose_inertial_optimization(
+            state_at(t1), anchor, pre, obs1, CAM)
+        assert int(n1) > 250
+        # second frame at t2 with WEAK vision (heavy noise, few points):
+        t2 = 1.1
+        pre2 = preint(t1, t2)
+        obs2 = make_obs(t2, n=12, noise_px=3.0)
+        gt2 = state_at(t2)
+        start = InertialFrameState(R=gt2.R, t=gt2.t, v=gt2.v,
+                                   bg=jnp.zeros(3), ba=jnp.zeros(3))
+        from orbslam3lib_tpu.tracking.inertial_opt import \
+            pose_inertial_optimization_last_frame
+        st_no, _, _, _ = pose_inertial_optimization(
+            start, st1, pre2, obs2, CAM)
+        st_pr, _, _, _ = pose_inertial_optimization_last_frame(
+            start, st1, H1, pre2, obs2, CAM)
+        # the prior ties the solution down: biases must not run away
+        d_no = float(jnp.linalg.norm(st_no.bg - st1.bg)
+                     + jnp.linalg.norm(st_no.ba - st1.ba))
+        d_pr = float(jnp.linalg.norm(st_pr.bg - st1.bg)
+                     + jnp.linalg.norm(st_pr.ba - st1.ba))
+        assert d_pr <= d_no + 1e-6, (d_pr, d_no)
+        # and the pose stays sane
+        assert float(jnp.linalg.norm(st_pr.t - gt2.t)) < 0.2
 
 
 class TestInertialInit:

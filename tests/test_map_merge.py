@@ -153,3 +153,75 @@ class TestMapMerge:
         # pre-existing map-B keyframes are untouched
         np.testing.assert_allclose(np.asarray(merged.kf_t[:4]),
                                    np.asarray(m_b.kf_t[:4]), atol=1e-6)
+
+
+class TestInertialMapMerge:
+    """MergeLocal2 semantics (LoopClosing.cc:1783): an IMU-initialized merge
+    must be gravity-consistent — yaw-only world rotation, scale pinned to 1 —
+    and must carry the archived preintegration registry across (remapped to
+    merged keyframe ids) so MergeInertialBA can weld the chains."""
+
+    def _setup_inertial(self):
+        thetas_a = [0.0, 0.4, 0.8, 1.2, 1.6]
+        # gravity-aligned relative frame: pure yaw + translation, scale 1
+        G = (rot_y(0.35), np.array([0.4, 0.1, -0.2], np.float32), 1.0)
+        thetas_b = [2.4, 2.8, 3.2, 0.05]
+        return build_map(thetas_a), build_map(thetas_b, G), G
+
+    def test_inertial_merge_gravity_consistent(self):
+        from orbslam3lib_tpu.tracking import imu as imu_mod
+        m_a, m_b, G = self._setup_inertial()
+        R_g, t_g, s_g = G
+        voc = vb.train_vocabulary(DESCS, k=4, depth=3)
+        db_a = PlaceRecognition(voc, max_kf=32)
+        for i in range(int(m_a.n_kf)):
+            db_a.add(i, m_a.kf_desc[i], m_a.kf_feat_valid[i])
+        atlas = Atlas(32, 1024, F)
+        atlas.maps = [m_a, m_b]
+        atlas.bad = [False, False]
+        atlas.current = 1
+
+        merger = MapMerger(SlamConfig(), consistency_needed=1)
+        merger.inertial = True
+        gaps_a = {i: (i - 1, imu_mod.empty_preintegrated())
+                  for i in range(1, int(m_a.n_kf))}
+        merger.archive(0, db_a, gaps=gaps_a)
+
+        assert merger.on_keyframe(atlas, 3, CAM), "inertial merge not detected"
+        merged = atlas.current_map
+        n_b = 4
+
+        # gravity consistency: the down axis (world +y) of every appended
+        # keyframe is preserved — a yaw-only correction cannot tilt it
+        for j in range(n_b, n_b + int(m_a.n_kf)):
+            R = np.asarray(merged.kf_R[j])
+            R_true, _ = kf_pose([0.0, 0.4, 0.8, 1.2, 1.6][j - n_b])
+            # rows of R_cw express world axes in cam frame; compare the
+            # world-y column direction
+            down_est = R[:, 1]
+            down_true = R_true[:, 1]
+            assert np.dot(down_est, down_true) > 0.999, (j, down_est)
+
+        # scale pinned: appended landmarks sit at the yaw+translation image
+        # of their true positions (estimated Sim3 ~ G since G is yaw-only)
+        off = int(m_b.n_mp)
+        pos = np.asarray(merged.mp_pos)
+        val = np.asarray(merged.mp_valid)
+        desc = np.asarray(merged.mp_desc)
+        expect_all = PTS @ R_g.T * s_g + t_g
+        n_checked = 0
+        for j in range(off, off + int(m_a.n_mp)):
+            if not val[j]:
+                continue
+            p_idx = int(np.argmin((desc[j][None, :] != DESCS).sum(1)))
+            assert np.linalg.norm(pos[j] - expect_all[p_idx]) < 0.08
+            n_checked += 1
+        assert n_checked > 100
+
+        # preintegration registry remapped to merged ids
+        lm = merger.last_merge
+        assert lm is not None and lm["kf_old"] == n_b
+        assert set(lm["gaps"].keys()) == {n_b + i
+                                          for i in range(1, int(m_a.n_kf))}
+        for dst, (src, pre) in lm["gaps"].items():
+            assert src == dst - 1

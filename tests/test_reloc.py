@@ -173,3 +173,51 @@ class TestTrackReferenceKF:
                 jnp.zeros(F, jnp.float32), jnp.zeros(F, jnp.float32), CAM,
                 cam_model=cameras.PINHOLE, bf=0.0, n_levels=nl)
             assert np.isfinite(np.asarray(t)).all()
+
+
+class TestRelocCandidateGating:
+    """DetectRelocalizationCandidates (KeyFrameDatabase.cc): common-words
+    ratio + covisibility-accumulated group scoring."""
+
+    def test_groups_and_gating(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from orbslam3lib_tpu.models import map_state as ms
+        from orbslam3lib_tpu.models import vocabulary as vb
+        from orbslam3lib_tpu.tracking.reloc import (PlaceRecognition,
+                                                    detect_reloc_candidates)
+        rng = np.random.default_rng(9)
+        F, P = 64, 256
+        # two disjoint descriptor populations: region A and region B
+        desc_a = rng.integers(0, 2, size=(F, 256)).astype(np.int8)
+        desc_b = rng.integers(0, 2, size=(F, 256)).astype(np.int8)
+        m = ms.empty_map(max_kf=16, max_mp=P, n_feat=F)
+        fv = jnp.ones(F, bool)
+        # region-A KFs (0,1,2) share landmarks 0..F-1 -> covisible group;
+        # region-B KFs (3,4) share landmarks F..2F-1
+        for i in range(3):
+            assoc = jnp.asarray(np.arange(F, dtype=np.int32))
+            m, _ = ms.insert_keyframe(
+                m, jnp.eye(3), jnp.zeros(3), jnp.float32(i),
+                jnp.zeros((F, 2)), jnp.zeros(F, jnp.int32),
+                jnp.asarray(desc_a), fv, assoc, jnp.zeros(F))
+        for i in range(2):
+            assoc = jnp.asarray(np.arange(F, 2 * F, dtype=np.int32))
+            m, _ = ms.insert_keyframe(
+                m, jnp.eye(3), jnp.zeros(3), jnp.float32(3 + i),
+                jnp.zeros((F, 2)), jnp.zeros(F, jnp.int32),
+                jnp.asarray(desc_b), fv, assoc, jnp.zeros(F))
+        mp_valid = np.zeros(P, bool); mp_valid[:2 * F] = True
+        m = m._replace(mp_valid=jnp.asarray(mp_valid))
+        voc = vb.train_vocabulary(np.concatenate([desc_a, desc_b]), k=4, depth=3)
+        pr = PlaceRecognition(voc, max_kf=16)
+        for i in range(5):
+            pr.add(i, m.kf_desc[i], m.kf_feat_valid[i])
+        # query with region-A descriptors: every returned candidate must be
+        # a region-A keyframe, and the group is represented once
+        q = vb.bow_from_descriptors(voc, jnp.asarray(desc_a), fv)
+        ids, scores = detect_reloc_candidates(m, pr.bow_db, pr.active, q)
+        ids = np.asarray(ids)
+        assert ids[0] in (0, 1, 2), ids
+        for i in ids:
+            assert i < 0 or i in (0, 1, 2), ids
