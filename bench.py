@@ -111,9 +111,15 @@ def bench_full_slam():
     cfg.tracker.max_frames_between_kf = 1  # c1a every frame: KF cadence is
                                            # then throttled by the mapper-idle
                                            # /short-queue policy, not starved
+    # no redundancy culling while BUILDING the map: dense populate keyframes
+    # are redundant by construction, and the goal here is a big map
+    cfg.mapping.kf_culling = False
     n_pop = 0
     for i in range(N_POPULATE):
         tracker.process_frame(imgs[i], float(ts[i]))
+        # populate is not realtime: drain the mapper so the mapper-idle
+        # keyframe policy sees an empty queue and keyframes densely
+        tracker.wait_mapping_idle()
         n_pop += 1
         if tracker.stats["n_kf"] >= 110:
             break
@@ -126,6 +132,7 @@ def bench_full_slam():
     cfg.tracker.kf_ref_ratio = kf_ratio
     cfg.tracker.min_frames_between_kf = 3
     cfg.tracker.max_frames_between_kf = 15
+    cfg.mapping.kf_culling = True
 
     # --- steady state: warm up the pipelined graphs, then measure ---
     base = N_POPULATE
@@ -250,7 +257,7 @@ def _make_dist_problem(n_cams, n_pts, obs_per_cam, seed=0):
     p_c = np.asarray(lie.se3_apply(jnp.asarray(cam_R[e_cam]),
                                    jnp.asarray(cam_t[e_cam]),
                                    jnp.asarray(pts[e_pt])))
-    uv = np.asarray(pinhole_project(cam_params, jnp.asarray(p_c)))
+    uv = np.array(pinhole_project(cam_params, jnp.asarray(p_c)))
     uv += rng.normal(0, 0.5, uv.shape).astype(np.float32)
     prob = BAProblem(
         cam_R=jnp.asarray(cam_R), cam_t=jnp.asarray(cam_t),
@@ -293,6 +300,9 @@ def bench_dist():
         os.execve(sys.executable, [sys.executable, __file__, "dist"], env)
 
     import jax
+    # this container's sitecustomize pins the axon TPU plugin regardless of
+    # env; switch to the virtual-CPU mesh the way tests/conftest.py does
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from jax.sharding import Mesh
     from orbslam3lib_tpu.mapping.local_ba import bundle_adjust
@@ -347,6 +357,13 @@ def bench_dist():
 
 
 def main():
+    # stack dumps on demand: kill -USR1 <pid> prints every thread's Python
+    # stack to stderr (hang diagnosis on the real device)
+    import faulthandler
+    import signal
+    faulthandler.register(signal.SIGUSR1)
+    from orbslam3lib_tpu.utils.timing import Verbose
+    Verbose.level = int(os.environ.get("ORBSLAM3_TPU_VERBOSE", "0"))
     mode = sys.argv[1] if len(sys.argv) > 1 else "full_slam"
     if mode == "frontend":
         bench_frontend()

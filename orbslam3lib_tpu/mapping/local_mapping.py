@@ -76,19 +76,13 @@ def observed_mp_mask(m: ms.MapState, kf_ids) -> jnp.ndarray:
     return mask[:m.max_mp] & m.mp_valid
 
 
-@partial(jax.jit, static_argnames=("cam_model", "n_levels"))
-def triangulate_pair(m: ms.MapState, kf_a, kf_b, cam_params,
-                     cam_model: int = cameras.PINHOLE, n_levels: int = 8,
-                     nn_ratio: float = 0.6, th_desc: float = 50.0,
-                     epi_sigma: float = 1.0):
-    """Match unassociated features of keyframes a,b and triangulate new
-    landmarks; spawn them bound to kf_a's feature slots.
-
-    Reference semantics: LocalMapping::CreateNewMapPoints (LocalMapping.cc:394)
-    + ORBmatcher::SearchForTriangulation (ORBmatcher.cc:908) with ratio 0.6,
-    epipolar-line gate, cos-parallax < 0.9998, positive depths, chi2 reproj
-    gates (5.991 sigma), scale-consistency ratio 1.5 * scaleFactor.
-    """
+def _tri_pair_candidates(m: ms.MapState, kf_a, kf_b, cam_params,
+                         cam_model: int, n_levels: int,
+                         nn_ratio: float, th_desc: float, epi_sigma: float):
+    """Pure candidate stage of triangulate_pair: match + triangulate + gate,
+    NO map mutation. Returns (want (F,), p_w (F,3), best (F,), cosp (F,),
+    normal (F,3), min_dist (F,), max_dist (F,)) — vmappable over kf_b for
+    the fused multi-neighbor pass."""
     F = m.n_feat
     a = jnp.clip(kf_a, 0, m.max_kf - 1)
     b = jnp.clip(kf_b, 0, m.max_kf - 1)
@@ -169,6 +163,28 @@ def triangulate_pair(m: ms.MapState, kf_a, kf_b, cam_params,
     normal = (p_w - ca) / jnp.maximum(dist_a[:, None], 1e-9)
     max_dist = dist_a * sig_a
     min_dist = max_dist / sf[n_levels - 1]
+    return want, p_w, best, cosp, normal, min_dist, max_dist
+
+
+@partial(jax.jit, static_argnames=("cam_model", "n_levels"))
+def triangulate_pair(m: ms.MapState, kf_a, kf_b, cam_params,
+                     cam_model: int = cameras.PINHOLE, n_levels: int = 8,
+                     nn_ratio: float = 0.6, th_desc: float = 50.0,
+                     epi_sigma: float = 1.0):
+    """Match unassociated features of keyframes a,b and triangulate new
+    landmarks; spawn them bound to kf_a's feature slots.
+
+    Reference semantics: LocalMapping::CreateNewMapPoints (LocalMapping.cc:394)
+    + ORBmatcher::SearchForTriangulation (ORBmatcher.cc:908) with ratio 0.6,
+    epipolar-line gate, cos-parallax < 0.9998, positive depths, chi2 reproj
+    gates (5.991 sigma), scale-consistency ratio 1.5 * scaleFactor.
+    """
+    F = m.n_feat
+    a = jnp.clip(kf_a, 0, m.max_kf - 1)
+    b = jnp.clip(kf_b, 0, m.max_kf - 1)
+    want, p_w, best, cosp, normal, min_dist, max_dist = _tri_pair_candidates(
+        m, kf_a, kf_b, cam_params, cam_model, n_levels, nn_ratio, th_desc,
+        epi_sigma)
     m2 = ms.spawn_mappoints(m, a, p_w, m.kf_desc[a], normal, min_dist,
                             max_dist, want, jnp.arange(F))
     # also bind the observation in kf_b (AddObservation second view)
@@ -179,6 +195,58 @@ def triangulate_pair(m: ms.MapState, kf_a, kf_b, cam_params,
     row_b2 = row_b.at[tgt].set(jnp.where(bind_b, new_ids, -1), mode="drop")
     m2 = m2._replace(kf_mp=m2.kf_mp.at[b].set(jnp.where(row_b2 >= 0, row_b2, row_b)))
     return m2, jnp.sum(want.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("cam_model", "n_levels", "n_nbrs"))
+def triangulate_with_neighbors(m: ms.MapState, kf_a, nbrs, cam_params,
+                               cam_model: int = cameras.PINHOLE,
+                               n_levels: int = 8, n_nbrs: int = 10,
+                               nn_ratio: float = 0.6, th_desc: float = 50.0,
+                               epi_sigma: float = 1.0):
+    """CreateNewMapPoints against ALL covisible neighbors in ONE executable.
+
+    The reference loops its nn=10 neighbors sequentially
+    (LocalMapping.cc:394); as 10 separate jit launches the mapper thread
+    holds the single device stream for ~10 launch latencies per keyframe,
+    stalling the tracker's frame chunks. Here the candidate stage is
+    vmapped over the neighbor axis and the spawn happens ONCE: a feature
+    slot triangulated by several neighbors keeps the best-conditioned pair
+    (smallest cos-parallax) — the reference achieves the same dedup
+    sequentially via its first-come spawn + later fuse.
+
+    Returns (new map, n_spawned)."""
+    F = m.n_feat
+    a = jnp.clip(kf_a, 0, m.max_kf - 1)
+
+    def cand(b):
+        return _tri_pair_candidates(m, kf_a, b, cam_params, cam_model,
+                                    n_levels, nn_ratio, th_desc, epi_sigma)
+
+    want, p_w, best, cosp, normal, min_dist, max_dist = jax.vmap(cand)(nbrs)
+    # per-feature best neighbor by parallax conditioning
+    score = jnp.where(want, cosp, 2.0)                 # (Nn, F)
+    sel = jnp.argmin(score, axis=0)                    # (F,)
+    any_want = jnp.any(want, axis=0)
+    iF = jnp.arange(F)
+    p_sel = p_w[sel, iF]
+    n_sel = normal[sel, iF]
+    mind_sel = min_dist[sel, iF]
+    maxd_sel = max_dist[sel, iF]
+    m2 = ms.spawn_mappoints(m, a, p_sel, m.kf_desc[a], n_sel, mind_sel,
+                            maxd_sel, any_want, iF)
+    # bind the second-view observation in the WINNING neighbor
+    new_ids = m2.kf_mp[a]
+    kf_mp = m2.kf_mp
+    for i in range(n_nbrs):
+        b = jnp.clip(nbrs[i], 0, m.max_kf - 1)
+        row_b = kf_mp[b]
+        bind_b = any_want & (sel == i) & (row_b[best[i]] < 0) & (nbrs[i] >= 0)
+        tgt = jnp.where(bind_b, best[i], F)
+        row_b2 = row_b.at[tgt].set(jnp.where(bind_b, new_ids, -1),
+                                   mode="drop")
+        kf_mp = kf_mp.at[b].set(jnp.where(row_b2 >= 0, row_b2, row_b))
+    m2 = m2._replace(kf_mp=kf_mp)
+    return m2, jnp.sum(any_want.astype(jnp.int32))
 
 
 @jax.jit

@@ -467,6 +467,12 @@ def loop_probe(m: ms.MapState, bow_db, active, centroids, idf, kf_id,
     q = bow_vector(words, m.kf_feat_valid[kf_id], idf, k ** depth)
     s = l1_scores(bow_db, q)
     ii = jnp.arange(K)
+    # the BoW database is append-only; CULLED keyframes must not be
+    # candidates (the reference erases them: KeyFrame::SetBadFlag ->
+    # KeyFrameDatabase::erase). A culled KF has covis_row == 0 and a stale
+    # pose — without this mask it sails past the covisibility exclusion and
+    # "verifies" as a loop against stale geometry.
+    active = active & m.kf_valid
     # dynamic score floor (DetectLoop, LoopClosing.cc:96+): a candidate
     # must look at least as similar as the WORST covisible neighbor —
     # the defense against perceptual aliasing in self-similar scenes
@@ -475,11 +481,16 @@ def loop_probe(m: ms.MapState, bow_db, active, centroids, idf, kf_id,
     # would reject every candidate since l1 scores are <= 1)
     min_score = jnp.where(jnp.any(covis_mask),
                           jnp.min(jnp.where(covis_mask, s, 1.0)), 0.0)
-    # temporal exclusion window 8: with the lagged/pipelined front end,
-    # keyframes a few ids apart can carry duplicate landmarks (bindings
-    # computed against a <=pipeline-frames-stale map), so covisibility
-    # alone cannot be trusted to exclude near-in-time keyframes
-    exclude = (covis_row > 0) | (~active) | (jnp.abs(ii - kf_id) <= 8)
+    # temporal exclusion by TIMESTAMP (2 s) in addition to 8 keyframe ids:
+    # with the lagged/pipelined front end, keyframes born within the
+    # in-flight window can carry duplicate landmarks (bindings computed
+    # against a stale map), so covisibility alone cannot be trusted to
+    # exclude near-in-time keyframes — and under dense keyframing, 8 ids
+    # can span FEWER frames than the pipeline depth. A same-place revisit
+    # in under 2 s is not a loop worth closing.
+    dts = jnp.abs(m.kf_ts - m.kf_ts[kf_id])
+    exclude = (covis_row > 0) | (~active) | (jnp.abs(ii - kf_id) <= 8) \
+        | (dts < 2.0)
     s = jnp.where(exclude, -1.0, s)
     top_s, top_i = jax.lax.top_k(s, n_best)
     return jnp.concatenate([top_i.astype(jnp.float32), top_s,
@@ -601,6 +612,11 @@ class LoopCloser:
         exclude = covis > 0
         exclude[kf_id] = True
         exclude[max(0, kf_id - 8):kf_id + 9] = True  # temporal neighbors
+        # timestamp exclusion (mirrors loop_probe): <2 s is not a loop
+        ts_all = np.asarray(m.kf_ts)
+        exclude |= np.abs(ts_all - ts_all[kf_id]) < 2.0
+        # culled keyframes are not candidates (KeyFrameDatabase::erase)
+        exclude |= ~np.asarray(m.kf_valid)
         # dynamic floor: worst covisible-neighbor score (DetectLoop), same
         # >=15 covisibility-weight threshold as the fused loop_probe path
         s_all = np.asarray(self.pr.query_scores(

@@ -195,14 +195,25 @@ class ThresholdController:
 
     def __init__(self, target: int = 170, band: int = 30,
                  t0: float = 17.0, t_min: float = 5.0, t_max: float = 80.0,
-                 gain: float = 0.15):
+                 gain: float = 0.15, gain_down: float = 0.6):
         self.target, self.band = target, band
         self.t, self.t_min, self.t_max, self.gain = t0, t_min, t_max, gain
+        self.gain_down = gain_down
 
     def update(self, n_features: int) -> float:
+        """Log-proportional step t *= (n/target)^g with ASYMMETRIC gains:
+        a too-high threshold starves the tracker (feature counts crash with
+        the scene's texture, inliers die within frames), while a too-low
+        one merely over-fills the fixed budget — so down-regulation is ~4x
+        stronger and can halve the threshold in one step, where the upward
+        path creeps at a few percent per update. (The symmetric version
+        measurably ratcheted to ~48 on texture-rich sections, then lost
+        tracking when the corridor content thinned: count 512 -> 18 in a
+        few frames while the threshold decayed at only 14%/update.)"""
         err = n_features - self.target
         if abs(err) > self.band:
-            self.t *= float(np.exp(self.gain * np.sign(err) *
-                                   min(abs(err) / max(self.target, 1), 1.0)))
+            ratio = max(n_features, 1) / max(self.target, 1)
+            g = self.gain if err > 0 else self.gain_down
+            self.t *= float(np.clip(ratio ** g, 0.5, 1.2))
             self.t = float(np.clip(self.t, self.t_min, self.t_max))
         return self.t

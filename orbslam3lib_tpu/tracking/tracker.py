@@ -269,11 +269,13 @@ def _update_mp_stats(m: ms.MapState, visible, found):
     )
 
 
-@partial(jax.jit, static_argnames=("close_depth", "cam_model", "n_levels"))
+@partial(jax.jit, static_argnames=("close_depth", "cam_model", "n_levels",
+                                   "img_w", "img_h"))
 def _insert_kf_and_spawn(m: ms.MapState, R, t, ts, feat_xy, feat_level,
                          feat_desc, feat_valid, u_right, depth, mp_feat,
                          cam_params, close_depth: float, cam_model: int,
-                         n_levels: int, v=None, bg=None, ba=None, angle=None):
+                         n_levels: int, v=None, bg=None, ba=None, angle=None,
+                         img_w: int = 640, img_h: int = 400):
     """Insert a keyframe; bind tracked landmarks; spawn new close-stereo
     landmarks for unmatched features (CreateNewKeyFrame, Tracking.cc:3277)."""
     F = feat_xy.shape[0]
@@ -284,6 +286,26 @@ def _insert_kf_and_spawn(m: ms.MapState, R, t, ts, feat_xy, feat_level,
     # at dispatch time, so landmarks culled since then must not be re-bound
     tgt = jnp.where((mp_feat >= 0) & m.mp_valid, mp_feat, F)
     assoc = jnp.full(F, -1, jnp.int32).at[tgt].set(pidx, mode="drop")
+
+    # dedupe at insert: re-associate still-unmatched features against the
+    # CURRENT map before any spawning. Pipelined bindings are up to
+    # pipeline+chunk frames stale — landmarks born in flight are invisible
+    # to the chunk executable, and spawning "new" points for them floods
+    # the map with duplicates, zeroing covisibility between overlapping
+    # keyframes (which in turn disables the loop-detection exclusion and
+    # lets self-similar corridor keyframes masquerade as loop closures).
+    unassoc = feat_valid & (assoc < 0)
+    bound = jnp.zeros(m.max_mp + 1, bool).at[
+        jnp.where(assoc >= 0, assoc, m.max_mp)].set(True, mode="drop")
+    pm = matching.search_by_projection(
+        m.mp_pos, m.mp_desc, m.mp_valid & ~bound[:m.max_mp], m.mp_normal,
+        m.mp_min_dist, m.mp_max_dist, R, t, cam_params, feat_xy, feat_level,
+        feat_desc, unassoc, radius=4.0, cam_model=cam_model, img_w=img_w,
+        img_h=img_h, th_desc=matching.TH_LOW, n_levels=n_levels)
+    re_ok = pm.mp_feat >= 0
+    tgt2 = jnp.where(re_ok, pm.mp_feat, F)
+    assoc2 = jnp.full(F, -1, jnp.int32).at[tgt2].set(pidx, mode="drop")
+    assoc = jnp.where(assoc >= 0, assoc, assoc2)
 
     m2, kf_id = ms.insert_keyframe(m, R, t, ts, feat_xy, feat_level, feat_desc,
                                    feat_valid, assoc, depth, v=v, bg=bg, ba=ba,
@@ -378,7 +400,8 @@ class Tracker:
         self._dev_static = None       # cached device copies of rig constants
         self._dev_tbc = None          # cached (R_bc, t_bc) device arrays
         self._dev_threshold = None    # (host value, device scalar)
-        self._probe_pending: List = []  # (kf_id, loop-probe device handle)
+        self._probe_pending: List = []  # (kf_id, probe handle, burst no)
+        self._burst_no = 0            # dispatch counter (probe aging)
         # stereo rectification (Settings.cc:485 precomputeRectificationMaps):
         # raw distorted stereo input is remapped on device each frame; the
         # EFFECTIVE camera becomes the shared rectified pinhole, the IMU
@@ -740,7 +763,12 @@ class Tracker:
         decisions (threshold, KF policy, loss) lag by at most
         pipeline+chunk frames, matching the reference's producer/consumer
         frame pipeline + mapper thread semantics (System.cc:356-438)."""
-        self._img_buf.append((np.asarray(img), ts, self.frame_id))
+        # start the H2D upload NOW (device_put is async): by dispatch time
+        # the 512 KB frame already crossed the tunnel, overlapped with the
+        # previous chunks' compute — the synchronous jnp.asarray(stack) at
+        # dispatch was ~3.5 ms/frame of pure host blocking
+        self._img_buf.append((jax.device_put(np.asarray(img)), ts,
+                              self.frame_id))
         self.frame_id += 1
         self.stats["n_frames"] += 1
         if len(self._img_buf) >= self.chunk:
@@ -761,6 +789,7 @@ class Tracker:
         buf, self._img_buf = self._img_buf, []
         if not buf:
             return
+        self._burst_no += 1
         n_real = len(buf)
         imgs = [b[0] for b in buf]
         while len(imgs) < self.chunk:
@@ -784,7 +813,8 @@ class Tracker:
                                        jnp.float32(self.threshold.t))
             Rp, tp, Rv, tv, prev_mp, prev_ang = self._chain
             cam2_params, R_lr, t_lr = self._dev_static
-            imgs_dev = jnp.asarray(np.stack(imgs))
+            # frames were device_put at arrival: stacking is a device op
+            imgs_dev = jnp.stack(imgs)
             if self._rect_maps is not None:
                 from ..utils.rectify import remap_bilinear
                 imgs_dev = remap_bilinear(imgs_dev.astype(jnp.float32),
@@ -840,21 +870,37 @@ class Tracker:
             return
         with self._map_lock:
             self.timer.start("pipeline_finalize")
-            # pop retired probes (or all, on drain)
+            # consume by AGE, never by is_ready() polling (an RPC on the
+            # tunneled device, measured ~0.6-50 ms per call under load).
+            # A probe is consumed one dispatch burst after it was issued:
+            # by then its executable has retired behind that burst's chunk
+            # and the 16-float fetch below does not block.
+            self.timer.start("pl_poll")
             if drain:
                 probes, self._probe_pending = self._probe_pending, []
             else:
-                flags = [self._xfer_done(h) for _, h in self._probe_pending]
-                probes = [p for p, f in zip(self._probe_pending, flags) if f]
+                # the device queue holds ~pipeline/chunk bursts of compute
+                # ahead of a fresh probe; only fetch probes older than the
+                # whole in-flight window so the fetch finds retired bytes
+                age = max(self.pipeline // max(self.chunk, 1), 1) + 1
+                cur = self._burst_no
+                probes = [p for p in self._probe_pending if p[2] < cur - age]
                 self._probe_pending = [
-                    p for p, f in zip(self._probe_pending, flags) if not f]
+                    p for p in self._probe_pending if p[2] >= cur - age]
 
             # lagged loop-closing probes first (they predate every pending
             # chunk); a correction moves keyframe poses, so collect each
             # rigid delta to compose onto the in-flight frame poses below
             deltas = []
-            for (kid, h) in probes:
-                pv = np.asarray(h).reshape(-1)
+            # ONE fetch RPC for every aged probe (a device-side stack costs
+            # a ~1 ms dispatch; each separate fetch costs a full round trip)
+            if len(probes) > 1:
+                all_vals = np.asarray(jnp.stack([p[1] for p in probes]))
+                probe_vals = [all_vals[i] for i in range(len(probes))]
+            else:
+                probe_vals = [np.asarray(p[1]) for p in probes]
+            for (kid, h, *_rest), pv in zip(probes, probe_vals):
+                pv = np.asarray(pv).reshape(-1)
                 n_before = self.loop_closer.n_loops
                 old_R = np.asarray(self.map.kf_R[kid], np.float64)
                 old_t = np.asarray(self.map.kf_t[kid], np.float64)
@@ -879,22 +925,32 @@ class Tracker:
             if drain or deltas:
                 recs, self._pending = self._pending, []
             else:
+                # age-based consumption, NO readiness polls: keep at most
+                # `pipeline` frames in flight; the popped chunks were
+                # dispatched >= pipeline frames ago, so their async pack
+                # transfer has long retired and the fetch doesn't block.
+                # If the device IS behind, blocking on the oldest chunk is
+                # exactly the backpressure we want.
                 recs = []
-                while self._pending and self._xfer_done(self._pending[0][3]):
-                    recs.append(self._pending.pop(0))
-                limit = 2 * max(self.pipeline, 1)
+                limit = max(self.pipeline, 1)
                 while self._pending and \
                         sum(r[2] for r in self._pending) > limit:
                     recs.append(self._pending.pop(0))
+            self.timer.stop("pl_poll")
             if not recs:
                 self.timer.stop("pipeline_finalize")
                 return
 
             self.timer.start("pipeline_asarray")
-            # np.concatenate yields a fresh writable array (the
-            # loop-correction path composes the Sim3 delta in place)
-            pack_vals = np.concatenate(
-                [np.asarray(r[3]).reshape(-1, PACK_LEN) for r in recs])
+            # ONE fetch RPC for all retired packs (device-side concat is a
+            # cheap dispatch; per-record fetches each pay a round trip);
+            # np.array = writable copy (the loop-correction path composes
+            # the Sim3 delta in place)
+            if len(recs) > 1:
+                pack_vals = np.array(jnp.concatenate(
+                    [r[3] for r in recs])).reshape(-1, PACK_LEN)
+            else:
+                pack_vals = np.array(recs[0][3]).reshape(-1, PACK_LEN)
             self.timer.stop("pipeline_asarray")
             real = np.concatenate([
                 (np.arange(r[3].shape[0]) < r[2]) for r in recs])
@@ -903,12 +959,16 @@ class Tracker:
             # K times on stale data and oscillate it into collapse
             if real.any():
                 self.threshold.update(int(np.median(pack_vals[real, 0])))
+                Verbose.log(f"[thctl] median_feat="
+                            f"{int(np.median(pack_vals[real, 0]))} -> "
+                            f"th={self.threshold.t:.1f}", lvl=2)
             for dR, dt in deltas:
                 for row_v in pack_vals:
                     Rf = row_v[4:13].reshape(3, 3).astype(np.float64)
                     tf = row_v[13:16].astype(np.float64)
                     row_v[4:13] = (Rf @ dR).reshape(-1)
                     row_v[13:16] = Rf @ dt + tf
+            self.timer.start("pl_consume")
             prev_pose = None
             row = 0
             lost = False
@@ -929,6 +989,7 @@ class Tracker:
                 # drop EVERYTHING still in flight (reference frame drops on
                 # backpressure); the loss path re-seeds from the map pose
                 self._pending = []
+            self.timer.stop("pl_consume")
             self.timer.stop("pipeline_finalize")
 
     def _consume_record(self, rec, c, v, prev_pose) -> bool:
@@ -939,6 +1000,9 @@ class Tracker:
         cfg = self.cfg
         n_valid, n_inl = int(v[0]), int(v[1])
         n_close_t, n_close_u = int(v[2]), int(v[3])
+        Verbose.log(f"[frame {fid}] feat={n_valid} inl={n_inl} "
+                    f"closeT={n_close_t} closeU={n_close_u} "
+                    f"th={self.threshold.t:.1f}", lvl=2)
         R = v[4:13].reshape(3, 3).astype(np.float32)
         t = v[13:16].astype(np.float32)
         if n_inl < cfg.tracker.min_inliers:
@@ -1017,7 +1081,7 @@ class Tracker:
             mp_feat[c], self.cam_params,
             float(cfg.stereo.depth_factor * cfg.stereo.baseline),
             cam_model=cfg.camera.model_id, n_levels=cfg.orb.n_levels,
-            angle=ang0[c])
+            angle=ang0[c], img_w=cfg.camera.width, img_h=cfg.camera.height)
         self._n_kf_host = kid + 1
         self.last_kf_frame = fid
         self.last_kf_id = kid
@@ -1074,7 +1138,8 @@ class Tracker:
             feats.desc[0], feats.valid[0], u_r, depth, mp_feat0,
             self.cam_params, 1e9,
             cam_model=cfg.camera.model_id, n_levels=cfg.orb.n_levels,
-            angle=feats.angle[0])
+            angle=feats.angle[0], img_w=cfg.camera.width,
+            img_h=cfg.camera.height)
         self._post_init(kf_id, int(self.map.n_mp), ts, feats)
         return {"state": OK, "n_inliers": int(self.map.n_mp), "init": True}
 
@@ -1302,9 +1367,12 @@ class Tracker:
             else:
                 ids, scores = self.place_rec.query(
                     feats.desc[0], feats.valid[0], n_best=3)
+            kf_valid_np = np.asarray(self.map.kf_valid)
             for k in np.asarray(ids):
                 k = int(k)
-                if k < 0:
+                # culled keyframes carry stale poses: never relocalize
+                # against them (KeyFrameDatabase::erase semantics)
+                if k < 0 or not kf_valid_np[k]:
                     continue
                 R, t, n_inl = relocalize_against_kf(
                     self.map, jnp.int32(k),
@@ -1437,7 +1505,8 @@ class Tracker:
             feats.desc[0], feats.valid[0], u_r, depth, mp_feat,
             self.cam_params, close_depth, cam_model=cfg.camera.model_id,
             n_levels=cfg.orb.n_levels, v=jnp.asarray(self.frame_state_v),
-            bg=jnp.asarray(bg_), ba=jnp.asarray(ba_), angle=feats.angle[0])
+            bg=jnp.asarray(bg_), ba=jnp.asarray(ba_), angle=feats.angle[0],
+            img_w=cfg.camera.width, img_h=cfg.camera.height)
         self.last_kf_frame = self.frame_id
         self.last_kf_id = int(kf_id)
         self.ref_kf_matches = max(n_inliers, 1)
@@ -1594,10 +1663,12 @@ class Tracker:
             # LocalMapping.cc:394) — device-resident ids, no fetch
             nbrs = lm_ops.top_covisible(self.map, jnp.int32(kid),
                                         n=cfg.mapping.n_tri_neighbors)
-            for i in range(cfg.mapping.n_tri_neighbors):
-                self.map, n_new = lm_ops.triangulate_pair(
-                    self.map, jnp.int32(kid), nbrs[i], self.cam_params,
-                    cam_model=cfg.camera.model_id, n_levels=cfg.orb.n_levels)
+            # all neighbors in ONE executable (vs one launch per neighbor):
+            # the mapper shares the device stream with the tracker's chunks
+            self.map, n_new = lm_ops.triangulate_with_neighbors(
+                self.map, jnp.int32(kid), nbrs, self.cam_params,
+                cam_model=cfg.camera.model_id, n_levels=cfg.orb.n_levels,
+                n_nbrs=cfg.mapping.n_tri_neighbors)
             # SearchInNeighbors fuse, both directions (LocalMapping.cc:726).
             # Candidate set = landmarks observed by the covisible neighbors
             # (the reference's restriction — an aliasing guard: a distant
@@ -1639,7 +1710,8 @@ class Tracker:
                             self.map, kid, self._nkf)
                         if h is not None:
                             h.copy_to_host_async()
-                            self._probe_pending.append((kid, h))
+                            self._probe_pending.append(
+                                (kid, h, self._burst_no))
                     else:
                         n_before = self.loop_closer.n_loops
                         self.map = self.loop_closer.on_keyframe(

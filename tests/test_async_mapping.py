@@ -1,6 +1,8 @@
 """Background LocalMapping/LoopClosing thread (SURVEY.md §2.4 P2): the
 tracker keeps tracking while mapping runs off-thread, and the result matches
 the synchronous pipeline's quality."""
+import pytest
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -8,6 +10,8 @@ from orbslam3lib_tpu.config import SlamConfig
 from orbslam3lib_tpu.evaluation import ate_rmse
 from orbslam3lib_tpu.io.synthetic import render_stereo_sequence
 from orbslam3lib_tpu.tracking.tracker import OK, Tracker
+
+pytestmark = pytest.mark.slow  # e2e tier: excluded from the smoke run
 
 
 def base_config(rig) -> SlamConfig:

@@ -18,6 +18,8 @@ from orbslam3lib_tpu.mapping import local_mapping as lm_ops
 from orbslam3lib_tpu.models import map_state as ms
 from orbslam3lib_tpu.tracking.tracker import OK, Tracker
 
+pytestmark = pytest.mark.slow  # e2e tier: excluded from the smoke run
+
 
 def out_and_back(n_half=28, dt=1.0 / 15.0, z_max=1.6):
     """Forward then backward along the corridor, constant orientation."""

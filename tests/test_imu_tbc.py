@@ -15,6 +15,8 @@ from orbslam3lib_tpu.io.synthetic import render_stereo_sequence, synth_imu
 from orbslam3lib_tpu.tracking import imu as imu_mod
 from orbslam3lib_tpu.tracking.tracker import OK, Tracker
 
+pytestmark = pytest.mark.slow  # e2e tier: excluded from the smoke run
+
 # a 90-degree rotation about z plus a 10 cm lever arm (EuRoC-like severity)
 R_BC = np.array([[0.0, -1.0, 0.0],
                  [1.0, 0.0, 0.0],

@@ -10,6 +10,8 @@ Reference behaviors under test:
     landmarks created while an async GBA ran are folded in through
     spanning-tree propagation / reference-KF re-anchoring.
 """
+import pytest
+
 import time
 
 import numpy as np
@@ -22,6 +24,8 @@ from orbslam3lib_tpu.models import map_state as ms
 from orbslam3lib_tpu.models import vocabulary as vb
 from orbslam3lib_tpu.tracking.reloc import PlaceRecognition
 from orbslam3lib_tpu.utils import cameras, lie
+
+pytestmark = pytest.mark.slow  # e2e tier: excluded from the smoke run
 
 RNG = np.random.default_rng(97)
 CAM = jnp.asarray([300.0, 300.0, 320.0, 200.0], dtype=jnp.float32)

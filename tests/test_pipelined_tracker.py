@@ -9,6 +9,8 @@ from orbslam3lib_tpu.evaluation import ate_rmse
 from orbslam3lib_tpu.io.synthetic import render_stereo_sequence
 from orbslam3lib_tpu.tracking.tracker import OK, RECENTLY_LOST, Tracker
 
+pytestmark = pytest.mark.slow  # e2e tier: excluded from the smoke run
+
 
 def small_config(rig) -> SlamConfig:
     cfg = SlamConfig()

@@ -10,6 +10,8 @@ from orbslam3lib_tpu.evaluation import ate_rmse, rpe_rmse
 from orbslam3lib_tpu.io.synthetic import StereoRig, render_stereo_sequence
 from orbslam3lib_tpu.tracking.tracker import OK, StereoTracker
 
+pytestmark = pytest.mark.slow  # e2e tier: excluded from the smoke run
+
 
 def small_config() -> SlamConfig:
     cfg = SlamConfig()

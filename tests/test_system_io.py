@@ -12,6 +12,8 @@ from orbslam3lib_tpu.models.serialization import load_atlas, load_map, save_atla
 from orbslam3lib_tpu.system import SENSOR_RGBD, SENSOR_STEREO, System
 from orbslam3lib_tpu.tracking.tracker import OK
 
+pytestmark = pytest.mark.slow  # e2e tier: excluded from the smoke run
+
 
 def small_cfg(rig):
     cfg = SlamConfig()
