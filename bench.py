@@ -99,8 +99,10 @@ def bench_full_slam():
     # async_mapping: LocalMapping/LoopClosing run on the mapper thread
     # (the reference's thread layout, System.cc:356-438) — KF mapping work
     # leaves the tracker's critical path
+    pipeline = int(os.environ.get("ORBSLAM3_TPU_PIPELINE", "16"))
+    chunk = int(os.environ.get("ORBSLAM3_TPU_CHUNK", "4"))
     tracker = Tracker(cfg, sensor="stereo", enable_loop_closing=True,
-                      enable_timing=True, pipeline=16, chunk=4,
+                      enable_timing=True, pipeline=pipeline, chunk=chunk,
                       async_mapping=True)
 
     # --- populate: dense keyframing until the map is big ---
@@ -114,16 +116,22 @@ def bench_full_slam():
     # no redundancy culling while BUILDING the map: dense populate keyframes
     # are redundant by construction, and the goal here is a big map
     cfg.mapping.kf_culling = False
+    # populate runs SYNCHRONOUSLY (pipeline off): keyframe decisions happen
+    # on the frame itself, so the map grows one KF per frame deterministically
+    # instead of at the pipelined consumption cadence
+    pipe_save = tracker.pipeline
+    tracker.pipeline = 0
     n_pop = 0
     for i in range(N_POPULATE):
         tracker.process_frame(imgs[i], float(ts[i]))
-        # populate is not realtime: drain the mapper so the mapper-idle
-        # keyframe policy sees an empty queue and keyframes densely
+        # drain the mapper so the mapper-idle keyframe policy sees an
+        # empty queue and keyframes densely
         tracker.wait_mapping_idle()
         n_pop += 1
         if tracker.stats["n_kf"] >= 110:
             break
     tracker.finish()
+    tracker.pipeline = pipe_save
     n_kf = int(tracker.map.n_kf)
     n_mp = int(tracker.map.n_mp)
     print(f"[bench] populate: {n_pop} frames -> {n_kf} KFs, {n_mp} MPs, "
@@ -135,6 +143,20 @@ def bench_full_slam():
     cfg.mapping.kf_culling = True
 
     # --- steady state: warm up the pipelined graphs, then measure ---
+    # pre-compile the cull-enabled mapper graph (populate ran with culling
+    # off; its first lazy compile must not land inside a measured window)
+    import jax
+    import jax.numpy as jnp
+    from orbslam3lib_tpu.mapping import local_mapping as lm_ops
+    warm_map = lm_ops.mapping_step(
+        tracker.map, jnp.int32(tracker.last_kf_id), tracker.cam_params,
+        cam_model=cfg.camera.model_id, img_w=cfg.camera.width,
+        img_h=cfg.camera.height, n_levels=cfg.orb.n_levels,
+        n_tri=cfg.mapping.n_tri_neighbors,
+        n_fuse=cfg.mapping.n_fuse_neighbors, do_cull_kf=True)
+    jax.block_until_ready(warm_map.kf_R)
+    del warm_map
+
     base = N_POPULATE
     for i in range(N_WARM):
         tracker.process_frame(imgs[base + i],

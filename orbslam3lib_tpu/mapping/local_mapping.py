@@ -318,6 +318,43 @@ def fuse_into_keyframe(m: ms.MapState, kf_id, mp_candidates_valid, cam_params,
     return m._replace(kf_mp=kf_mp, mp_valid=mp_valid), jnp.sum(add) + jnp.sum(clash)
 
 
+@partial(jax.jit, static_argnames=("cam_model", "img_w", "img_h", "n_levels",
+                                   "n_tri", "n_fuse", "do_cull_kf"))
+def mapping_step(m: ms.MapState, kid, cam_params,
+                 cam_model: int = cameras.PINHOLE, img_w: int = 640,
+                 img_h: int = 400, n_levels: int = 8, n_tri: int = 10,
+                 n_fuse: int = 3, do_cull_kf: bool = True):
+    """The whole per-keyframe LocalMapping chain as ONE executable:
+    MapPointCulling -> CreateNewMapPoints (all neighbors, fused) ->
+    SearchInNeighbors fuse both directions -> KeyFrameCulling
+    (LocalMapping.cc:64 Run order). Issued as ~7 separate jits, the mapper
+    thread paid one dispatch round trip per stage while holding the map
+    lock — on the tunneled device that serialized 20-60 ms of pure launch
+    latency against the tracker's frame path. Returns the new map."""
+    kid = jnp.asarray(kid, jnp.int32)
+    m = cull_mappoints(m, kid)
+    nbrs = top_covisible(m, kid, n_tri)
+    m, _ = triangulate_with_neighbors(
+        m, kid, nbrs, cam_params, cam_model=cam_model, n_levels=n_levels,
+        n_nbrs=n_tri)
+    # fuse candidates: neighbor-observed landmarks (the reference's
+    # aliasing-guarded set) + recent spawns (pipeline-stale duplicates)
+    nbr_self = jnp.concatenate([nbrs, kid.reshape(1)])
+    fuse_cand = observed_mp_mask(m, nbr_self) | (m.mp_first_kf >= kid - 8)
+    m, _ = fuse_into_keyframe(
+        m, kid, fuse_cand, cam_params, cam_model=cam_model, img_w=img_w,
+        img_h=img_h, n_levels=n_levels)
+    own = observed_mp_mask(m, kid.reshape(1))
+    for i in range(n_fuse):
+        m, _ = fuse_into_keyframe(
+            m, nbrs[i], own, cam_params, cam_model=cam_model, img_w=img_w,
+            img_h=img_h, n_levels=n_levels)
+    if do_cull_kf:
+        protect = jnp.stack([jnp.int32(0), jnp.maximum(kid - 1, 0), kid])
+        m = cull_keyframes(m, protect)
+    return m
+
+
 @jax.jit
 def cull_keyframes(m: ms.MapState, protect_ids) -> ms.MapState:
     """KeyFrameCulling (LocalMapping.cc:914): a keyframe is redundant if

@@ -489,6 +489,14 @@ class Tracker:
         # lock only serializes host-side map-reference read-modify-writes.
         import queue as _queue
         import threading as _threading
+        from concurrent.futures import ThreadPoolExecutor
+        # dedicated D2H fetcher: copy_to_host_async is not effective on the
+        # tunneled backend, so a result fetch at consume time is a fresh RPC
+        # that waits behind every queued computation. Submitting the fetch
+        # from a background thread right after dispatch overlaps that wait
+        # with the host's dispatching; finalize then checks a LOCAL
+        # Future.done() instead of paying an is_ready()/fetch round trip.
+        self._fetch_pool = ThreadPoolExecutor(max_workers=1)
         self._map_lock = _threading.RLock()
         self._map_queue = None
         self._mapper_thread = None
@@ -841,11 +849,12 @@ class Tracker:
             # mp_feat — each with leading chunk dim)
             self._pending.append(
                 ([b[1] for b in buf], [b[2] for b in buf], n_real) + ys)
-            # start the D2H transfer of the scalar pack NOW: it executes as
-            # soon as this chunk's compute retires, overlapping with the
-            # next chunks' dispatch — by finalize time the bytes are already
-            # host-side and the fetch no longer drains the device queue
-            ys[0].copy_to_host_async()
+            # fetch the scalar pack on the background fetcher NOW: the RPC
+            # blocks there until this chunk's compute retires, overlapping
+            # with the next chunks' dispatch — by finalize time the bytes
+            # are host-side and consume pays no round trip
+            self._pending[-1] = self._pending[-1] + (
+                self._fetch_pool.submit(np.asarray, ys[0]),)
 
     @staticmethod
     def _xfer_done(h) -> bool:
@@ -870,37 +879,22 @@ class Tracker:
             return
         with self._map_lock:
             self.timer.start("pipeline_finalize")
-            # consume by AGE, never by is_ready() polling (an RPC on the
-            # tunneled device, measured ~0.6-50 ms per call under load).
-            # A probe is consumed one dispatch burst after it was issued:
-            # by then its executable has retired behind that burst's chunk
-            # and the 16-float fetch below does not block.
+            # results arrive via the background fetcher (see __init__):
+            # Future.done() is a LOCAL check — no device round trip here
             self.timer.start("pl_poll")
             if drain:
                 probes, self._probe_pending = self._probe_pending, []
             else:
-                # the device queue holds ~pipeline/chunk bursts of compute
-                # ahead of a fresh probe; only fetch probes older than the
-                # whole in-flight window so the fetch finds retired bytes
-                age = max(self.pipeline // max(self.chunk, 1), 1) + 1
-                cur = self._burst_no
-                probes = [p for p in self._probe_pending if p[2] < cur - age]
+                probes = [p for p in self._probe_pending if p[1].done()]
                 self._probe_pending = [
-                    p for p in self._probe_pending if p[2] >= cur - age]
+                    p for p in self._probe_pending if not p[1].done()]
 
             # lagged loop-closing probes first (they predate every pending
             # chunk); a correction moves keyframe poses, so collect each
             # rigid delta to compose onto the in-flight frame poses below
             deltas = []
-            # ONE fetch RPC for every aged probe (a device-side stack costs
-            # a ~1 ms dispatch; each separate fetch costs a full round trip)
-            if len(probes) > 1:
-                all_vals = np.asarray(jnp.stack([p[1] for p in probes]))
-                probe_vals = [all_vals[i] for i in range(len(probes))]
-            else:
-                probe_vals = [np.asarray(p[1]) for p in probes]
-            for (kid, h, *_rest), pv in zip(probes, probe_vals):
-                pv = np.asarray(pv).reshape(-1)
+            for (kid, fut, *_rest) in probes:
+                pv = np.asarray(fut.result()).reshape(-1)
                 n_before = self.loop_closer.n_loops
                 old_R = np.asarray(self.map.kf_R[kid], np.float64)
                 old_t = np.asarray(self.map.kf_t[kid], np.float64)
@@ -925,13 +919,13 @@ class Tracker:
             if drain or deltas:
                 recs, self._pending = self._pending, []
             else:
-                # age-based consumption, NO readiness polls: keep at most
-                # `pipeline` frames in flight; the popped chunks were
-                # dispatched >= pipeline frames ago, so their async pack
-                # transfer has long retired and the fetch doesn't block.
-                # If the device IS behind, blocking on the oldest chunk is
-                # exactly the backpressure we want.
+                # consume every chunk whose background fetch completed
+                # (local Future check), plus enough of the oldest ones to
+                # keep at most `pipeline` frames in flight — blocking on
+                # the oldest chunk is exactly the backpressure we want
                 recs = []
+                while self._pending and self._pending[0][-1].done():
+                    recs.append(self._pending.pop(0))
                 limit = max(self.pipeline, 1)
                 while self._pending and \
                         sum(r[2] for r in self._pending) > limit:
@@ -942,15 +936,13 @@ class Tracker:
                 return
 
             self.timer.start("pipeline_asarray")
-            # ONE fetch RPC for all retired packs (device-side concat is a
-            # cheap dispatch; per-record fetches each pay a round trip);
-            # np.array = writable copy (the loop-correction path composes
-            # the Sim3 delta in place)
-            if len(recs) > 1:
-                pack_vals = np.array(jnp.concatenate(
-                    [r[3] for r in recs])).reshape(-1, PACK_LEN)
-            else:
-                pack_vals = np.array(recs[0][3]).reshape(-1, PACK_LEN)
+            # packs were fetched by the background thread; result() only
+            # blocks if this record was popped by the backpressure bound.
+            # np.concatenate = fresh writable array (the loop-correction
+            # path composes the Sim3 delta in place)
+            pack_vals = np.concatenate(
+                [np.asarray(r[-1].result()).reshape(-1, PACK_LEN)
+                 for r in recs])
             self.timer.stop("pipeline_asarray")
             real = np.concatenate([
                 (np.arange(r[3].shape[0]) < r[2]) for r in recs])
@@ -1034,13 +1026,9 @@ class Tracker:
         absorbs the 8-KF lag."""
         prev = self._mp_pressure_probe
         if prev is not None:
-            self._mp_pressure = int(prev) >= 0.9 * self.map.max_mp
-        h = self.map.n_mp
-        try:
-            h.copy_to_host_async()
-        except AttributeError:
-            pass
-        self._mp_pressure_probe = h
+            self._mp_pressure = int(prev.result()) >= 0.9 * self.map.max_mp
+        self._mp_pressure_probe = self._fetch_pool.submit(
+            np.asarray, self.map.n_mp)
 
     def _need_new_keyframe_scalars(self, n_inliers, n_close_tracked,
                                    n_close_untracked, frame_id) -> bool:
@@ -1072,7 +1060,7 @@ class Tracker:
 
     def _create_keyframe_from_record(self, rec, c, R, t, n_inl):
         ts, fid = rec[0][c], rec[1][c]
-        _, _, _, _, xy0, lvl0, ang0, desc0, val0, u_r, depth, mp_feat = rec
+        xy0, lvl0, ang0, desc0, val0, u_r, depth, mp_feat = rec[4:12]
         cfg = self.cfg
         kid = self._nkf
         self.map, _ = _insert_kf_and_spawn(
@@ -1658,46 +1646,16 @@ class Tracker:
                 self.place_rec.add(kid, self.map.kf_desc[kid],
                                    self.map.kf_feat_valid[kid])
         with self.timer.stage("local_mapping"):
-            self.map = lm_ops.cull_mappoints(self.map, jnp.int32(kid))
-            # covisibility-driven neighbor set (CreateNewMapPoints nn=10,
-            # LocalMapping.cc:394) — device-resident ids, no fetch
-            nbrs = lm_ops.top_covisible(self.map, jnp.int32(kid),
-                                        n=cfg.mapping.n_tri_neighbors)
-            # all neighbors in ONE executable (vs one launch per neighbor):
-            # the mapper shares the device stream with the tracker's chunks
-            self.map, n_new = lm_ops.triangulate_with_neighbors(
-                self.map, jnp.int32(kid), nbrs, self.cam_params,
-                cam_model=cfg.camera.model_id, n_levels=cfg.orb.n_levels,
-                n_nbrs=cfg.mapping.n_tri_neighbors)
-            # SearchInNeighbors fuse, both directions (LocalMapping.cc:726).
-            # Candidate set = landmarks observed by the covisible neighbors
-            # (the reference's restriction — an aliasing guard: a distant
-            # landmark with a similar descriptor must not be merged in)
-            # PLUS recently-spawned landmarks (mp_first_kf within the last 8
-            # KFs): with the pipelined front end, frames bind against a
-            # <=pipeline-frames-stale map, so the duplicates that need
-            # repairing are exactly the recent spawns
-            nbr_self = jnp.concatenate(
-                [nbrs, jnp.asarray([kid], jnp.int32)])
-            fuse_cand = lm_ops.observed_mp_mask(self.map, nbr_self) | \
-                (self.map.mp_first_kf >= kid - 8)
-            self.map, _ = lm_ops.fuse_into_keyframe(
-                self.map, jnp.int32(kid), fuse_cand, self.cam_params,
+            # the WHOLE per-KF chain (cull -> triangulate-all-neighbors ->
+            # fuse both ways -> KF culling) is one executable: one dispatch
+            # round trip while holding the map lock instead of ~7
+            self.map = lm_ops.mapping_step(
+                self.map, jnp.int32(kid), self.cam_params,
                 cam_model=cfg.camera.model_id, img_w=cfg.camera.width,
-                img_h=cfg.camera.height, n_levels=cfg.orb.n_levels)
-            own = lm_ops.observed_mp_mask(
-                self.map, jnp.asarray([kid], jnp.int32))
-            for i in range(cfg.mapping.n_fuse_neighbors):
-                self.map, _ = lm_ops.fuse_into_keyframe(
-                    self.map, nbrs[i], own, self.cam_params,
-                    cam_model=cfg.camera.model_id, img_w=cfg.camera.width,
-                    img_h=cfg.camera.height, n_levels=cfg.orb.n_levels)
-            # KeyFrameCulling (LocalMapping.cc:914); protect the fresh KF,
-            # its predecessor and the map origin
-            if cfg.mapping.kf_culling:
-                self.map = lm_ops.cull_keyframes(
-                    self.map, jnp.asarray([0, max(kid - 1, 0), kid],
-                                          jnp.int32))
+                img_h=cfg.camera.height, n_levels=cfg.orb.n_levels,
+                n_tri=cfg.mapping.n_tri_neighbors,
+                n_fuse=cfg.mapping.n_fuse_neighbors,
+                do_cull_kf=bool(cfg.mapping.kf_culling))
 
         with self.timer.stage("local_ba"):
             self._run_local_ba(kid)
@@ -1709,9 +1667,9 @@ class Tracker:
                         h = self.loop_closer.dispatch_probe(
                             self.map, kid, self._nkf)
                         if h is not None:
-                            h.copy_to_host_async()
                             self._probe_pending.append(
-                                (kid, h, self._burst_no))
+                                (kid, self._fetch_pool.submit(np.asarray, h),
+                                 self._burst_no))
                     else:
                         n_before = self.loop_closer.n_loops
                         self.map = self.loop_closer.on_keyframe(
