@@ -105,6 +105,22 @@ class TrackerConfig:
     close_untracked_th: int = 70      # c1c nNonTrackedClose
     pose_rounds: int = 4
     pose_iters: int = 10
+    # discard landmarks farther than this many meters from the camera
+    # (reference thFarPoints, System.cc:174-184 -> LocalMapping.cc:696);
+    # 0 = disabled
+    th_far_points: float = 0.0
+    # restrict the stage-2 search to the covisibility-local map
+    # (TrackLocalMap's UpdateLocalKeyFrames/UpdateLocalPoints,
+    # Tracking.cc:3478) instead of the whole landmark set. Reference
+    # behavior; also what makes a drifted revisit go through loop closure
+    # instead of silently re-binding. False = whole-map search (more
+    # robust to large drift, non-reference).
+    local_map_tracking: bool = True
+    # keep inserting keyframes while RECENTLY_LOST on an inertial rig
+    # (IMU dead-reckoning bridges the gap until relocalization/merge) —
+    # reference mInsertKFsLost (Settings.cc:427 IMU.InsertKFsWhenLost,
+    # consumed Tracking.cc:2304)
+    insert_kfs_when_lost: bool = True
 
 
 @dataclass
@@ -276,4 +292,11 @@ def from_yaml(path: str) -> SlamConfig:
                      ("IMU.Frequency", "freq")]:
         if yk in vals:
             setattr(cfg.imu, attr, float(vals[yk]))
+    # runtime flags (System.cc:174-184; Settings.cc:427)
+    if "thFarPoints" in vals:
+        cfg.tracker.th_far_points = float(vals["thFarPoints"])
+    if "System.thFarPoints" in vals:
+        cfg.tracker.th_far_points = float(vals["System.thFarPoints"])
+    if "IMU.InsertKFsWhenLost" in vals:
+        cfg.tracker.insert_kfs_when_lost = bool(int(vals["IMU.InsertKFsWhenLost"]))
     return cfg

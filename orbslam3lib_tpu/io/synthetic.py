@@ -85,17 +85,21 @@ class _NoiseTexture:
 @dataclass
 class CorridorWorld:
     """Axis-aligned corridor: x in [-hw, hw], y in [-hh, hh], z in [z0, z1].
-    World frame: x right, y down, z forward."""
+    World frame: x right, y down, z forward. With `back_wall` a sixth
+    textured plane closes the box at z0 (a room), enabling 360-degree
+    orbit sequences for loop-closure benchmarks."""
     half_w: float = 2.0
     half_h: float = 1.5
     z0: float = -5.0
     z1: float = 60.0
     tex_seed: int = 42
+    back_wall: bool = False
 
     def __post_init__(self):
         s = self.tex_seed
-        # one texture per plane: left, right, floor, ceiling, end wall
-        self.tex = [_NoiseTexture(s + i, base_scale=3.0) for i in range(5)]
+        # one texture per plane: left, right, floor, ceiling, end wall,
+        # (optional) back wall
+        self.tex = [_NoiseTexture(s + i, base_scale=3.0) for i in range(6)]
 
     def render(self, R_cw: np.ndarray, c_w: np.ndarray, rig: StereoRig,
                noise_sigma: float = 1.5, rng=None) -> np.ndarray:
@@ -132,12 +136,17 @@ class CorridorWorld:
             (1, -self.half_h, 3),   # ceiling
             (2, self.z1, 4),        # end wall    z = z1, tex (x, y)
         ]
+        if self.back_wall:
+            planes.append((2, self.z0, 5))  # back wall z = z0 (room mode)
         for axis, val, ti in planes:
             dn = d_w[..., axis]
             with np.errstate(divide="ignore", invalid="ignore"):
                 t = (val - o[axis]) / dn
             hit = (t > 0.05) & np.isfinite(t)
-            p = o[None, None, :] + t[..., None] * d_w
+            # mask non-intersecting rays BEFORE the multiply: inf * 0 = NaN
+            # would flow through the texture lookup as a RuntimeWarning
+            t_safe = np.where(hit, t, 1.0)
+            p = o[None, None, :] + t_safe[..., None] * d_w
             if axis == 0:
                 in_b = (np.abs(p[..., 1]) <= self.half_h) & \
                        (p[..., 2] >= self.z0) & (p[..., 2] <= self.z1)
@@ -185,6 +194,38 @@ def corridor_pose_at(ts: np.ndarray, speed: float = 0.8, wiggle: float = 0.25):
     R_cw = np.stack([right, down, fwd], axis=-1)   # float64: finite
     c_w = np.stack([x, y, z], axis=-1)             # differences need f64
     return R_cw, c_w
+
+
+def orbit_pose_at(ts: np.ndarray, period: float = 24.0, radius: float = 0.5,
+                  wiggle: float = 0.08):
+    """Analytic orbit pose inside a room (back_wall CorridorWorld): the
+    camera circles the room center at `radius`, always facing radially
+    outward at the walls, completing 360 degrees per `period` seconds —
+    after one period it revisits its own earlier views exactly, the
+    canonical loop-closure geometry. Slight vertical bob keeps the motion
+    non-degenerate. Returns (R_cw (T,3,3), c_w (T,3))."""
+    ts = np.asarray(ts, dtype=np.float64)
+    phi = 2.0 * np.pi * ts / period
+    x = radius * np.sin(phi)
+    z = radius * np.cos(phi)
+    y = wiggle * np.sin(3.1 * phi)
+    fwd = np.stack([np.sin(phi), np.full_like(phi, 0.0), np.cos(phi)],
+                   axis=-1)
+    up_hint = np.array([0.0, 1.0, 0.0])
+    right = np.cross(np.broadcast_to(up_hint, fwd.shape), fwd)
+    right /= np.linalg.norm(right, axis=-1, keepdims=True)
+    down = np.cross(fwd, right)
+    R_cw = np.stack([right, down, fwd], axis=-1)
+    c_w = np.stack([x, y, z], axis=-1)
+    return R_cw, c_w
+
+
+def orbit_trajectory(n_frames: int, dt: float = 1.0 / 15.0,
+                     period: float = 24.0, radius: float = 0.5):
+    """Ground-truth orbit trajectory (see orbit_pose_at)."""
+    ts = np.arange(n_frames, dtype=np.float64) * dt
+    R_cw, c_w = orbit_pose_at(ts, period, radius)
+    return list(R_cw.astype(np.float32)), list(c_w.astype(np.float32)), ts
 
 
 def corridor_trajectory(n_frames: int, dt: float = 1.0 / 15.0,

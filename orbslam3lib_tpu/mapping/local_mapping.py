@@ -78,7 +78,8 @@ def observed_mp_mask(m: ms.MapState, kf_ids) -> jnp.ndarray:
 
 def _tri_pair_candidates(m: ms.MapState, kf_a, kf_b, cam_params,
                          cam_model: int, n_levels: int,
-                         nn_ratio: float, th_desc: float, epi_sigma: float):
+                         nn_ratio: float, th_desc: float, epi_sigma: float,
+                         th_far=None):
     """Pure candidate stage of triangulate_pair: match + triangulate + gate,
     NO map mutation. Returns (want (F,), p_w (F,3), best (F,), cosp (F,),
     normal (F,3), min_dist (F,), max_dist (F,)) — vmappable over kf_b for
@@ -150,6 +151,14 @@ def _tri_pair_candidates(m: ms.MapState, kf_a, kf_b, cam_params,
     ratio_o = sig_a / jnp.maximum(sig_b[best], 1e-6)
     ok = ok * step01((ratio_d - ratio_o / 1.5) * 8.0)
     ok = ok * step01((ratio_o * 1.5 - ratio_d) * 8.0)
+    if th_far is not None:
+        # thFarPoints depth cut (System.cc:174-184 -> LocalMapping.cc:696
+        # "if(mbFarPoints && (dist1>=mThFarPoints||dist2>=mThFarPoints))"):
+        # both view distances must be under the threshold; <=0 disables
+        far_ok = jnp.where(th_far > 0,
+                           step01((th_far - dist_a) * 8.0)
+                           * step01((th_far - dist_b) * 8.0), 1.0)
+        ok = ok * far_ok
     # neighbor validity gate (covisibility lists pad with -1; self-pairs
     # and culled neighbors are no-ops); integer-exact gates
     ok = ok * step01(kf_b.astype(jnp.float32) + 1.0) \
@@ -170,7 +179,7 @@ def _tri_pair_candidates(m: ms.MapState, kf_a, kf_b, cam_params,
 def triangulate_pair(m: ms.MapState, kf_a, kf_b, cam_params,
                      cam_model: int = cameras.PINHOLE, n_levels: int = 8,
                      nn_ratio: float = 0.6, th_desc: float = 50.0,
-                     epi_sigma: float = 1.0):
+                     epi_sigma: float = 1.0, th_far=None):
     """Match unassociated features of keyframes a,b and triangulate new
     landmarks; spawn them bound to kf_a's feature slots.
 
@@ -184,7 +193,7 @@ def triangulate_pair(m: ms.MapState, kf_a, kf_b, cam_params,
     b = jnp.clip(kf_b, 0, m.max_kf - 1)
     want, p_w, best, cosp, normal, min_dist, max_dist = _tri_pair_candidates(
         m, kf_a, kf_b, cam_params, cam_model, n_levels, nn_ratio, th_desc,
-        epi_sigma)
+        epi_sigma, th_far)
     m2 = ms.spawn_mappoints(m, a, p_w, m.kf_desc[a], normal, min_dist,
                             max_dist, want, jnp.arange(F))
     # also bind the observation in kf_b (AddObservation second view)
@@ -202,7 +211,7 @@ def triangulate_with_neighbors(m: ms.MapState, kf_a, nbrs, cam_params,
                                cam_model: int = cameras.PINHOLE,
                                n_levels: int = 8, n_nbrs: int = 10,
                                nn_ratio: float = 0.6, th_desc: float = 50.0,
-                               epi_sigma: float = 1.0):
+                               epi_sigma: float = 1.0, th_far=None):
     """CreateNewMapPoints against ALL covisible neighbors in ONE executable.
 
     The reference loops its nn=10 neighbors sequentially
@@ -220,7 +229,8 @@ def triangulate_with_neighbors(m: ms.MapState, kf_a, nbrs, cam_params,
 
     def cand(b):
         return _tri_pair_candidates(m, kf_a, b, cam_params, cam_model,
-                                    n_levels, nn_ratio, th_desc, epi_sigma)
+                                    n_levels, nn_ratio, th_desc, epi_sigma,
+                                    th_far)
 
     want, p_w, best, cosp, normal, min_dist, max_dist = jax.vmap(cand)(nbrs)
     # per-feature best neighbor by parallax conditioning
@@ -323,7 +333,7 @@ def fuse_into_keyframe(m: ms.MapState, kf_id, mp_candidates_valid, cam_params,
 def mapping_step(m: ms.MapState, kid, cam_params,
                  cam_model: int = cameras.PINHOLE, img_w: int = 640,
                  img_h: int = 400, n_levels: int = 8, n_tri: int = 10,
-                 n_fuse: int = 3, do_cull_kf: bool = True):
+                 n_fuse: int = 3, do_cull_kf: bool = True, th_far=None):
     """The whole per-keyframe LocalMapping chain as ONE executable:
     MapPointCulling -> CreateNewMapPoints (all neighbors, fused) ->
     SearchInNeighbors fuse both directions -> KeyFrameCulling
@@ -336,7 +346,7 @@ def mapping_step(m: ms.MapState, kid, cam_params,
     nbrs = top_covisible(m, kid, n_tri)
     m, _ = triangulate_with_neighbors(
         m, kid, nbrs, cam_params, cam_model=cam_model, n_levels=n_levels,
-        n_nbrs=n_tri)
+        n_nbrs=n_tri, th_far=th_far)
     # fuse candidates: neighbor-observed landmarks (the reference's
     # aliasing-guarded set) + recent spawns (pipeline-stale duplicates)
     nbr_self = jnp.concatenate([nbrs, kid.reshape(1)])

@@ -193,7 +193,13 @@ def project_count_sim3(m: ms.MapState, kf_cur, kf_loop, R12, t12, s12,
         R_cw, t_cw, cam_params, m.kf_xy[c], m.kf_level[c], m.kf_desc[c],
         m.kf_feat_valid[c], radius, cam_model=cam_model, img_w=img_w,
         img_h=img_h, n_levels=n_levels)
-    return jnp.sum((pm.mp_feat >= 0).astype(jnp.int32))
+    # count DISTINCT matched features: multiple landmarks matching the same
+    # feature must count once (the reference's nProjMatches is per-feature —
+    # vpMatchedMPs slots — so duplicates would inflate the gate)
+    F = m.n_feat
+    tgt = jnp.where(pm.mp_feat >= 0, pm.mp_feat, F)
+    hit = jnp.zeros(F + 1, bool).at[tgt].set(True, mode="drop")
+    return jnp.sum(hit[:F].astype(jnp.int32))
 
 
 @jax.jit
@@ -449,15 +455,21 @@ def apply_pose_graph_result(m: ms.MapState, new_R, new_t, new_s,
 
 @partial(jax.jit, static_argnames=("k", "depth", "n_best"))
 def loop_probe(m: ms.MapState, bow_db, active, centroids, idf, kf_id,
-               k: int, depth: int, n_best: int = 3):
+               k: int, depth: int, n_best: int = 3, prev_cand=None):
     """Fused per-keyframe loop-detection probe: covisibility row + BoW
     descent + exclusion + top-N candidates, ONE device round trip.
 
-    Returns a (3*n_best,) f32 pack [ids | scores | covis_weights]. This is
-    the common no-loop-detected path of LoopClosing::NewDetectCommonRegions
-    (LoopClosing.cc:324+) collapsed into a single executable so the per-KF
-    cost is one fetch instead of several (the reference pays a mutex + map
-    traversal here; we pay one MXU matmul for the covisibility row).
+    Returns a (3*n_best+1,) f32 pack [ids | scores | covis_w | min_score].
+    `covis_w` is each candidate's covisibility weight with `prev_cand` (the
+    previously consistent candidate) when given, else with the current KF —
+    the reference's consistent-group test compares the NEW candidate group
+    against the PREVIOUS one (DetectCommonRegionsFromBoW consistency /
+    mnLoopNumCoincidences, LoopClosing.cc:396+): at a genuine revisit the
+    candidate has zero covisibility with the CURRENT keyframe by
+    construction, so group consistency must be measured candidate-to-
+    candidate. This is the common no-loop-detected path of
+    NewDetectCommonRegions (LoopClosing.cc:324+) collapsed into a single
+    executable so the per-KF cost is one fetch instead of several.
     """
     from ..models.vocabulary import _descend, bow_vector, l1_scores
     K = m.max_kf
@@ -481,7 +493,10 @@ def loop_probe(m: ms.MapState, bow_db, active, centroids, idf, kf_id,
     # would reject every candidate since l1 scores are <= 1)
     min_score = jnp.where(jnp.any(covis_mask),
                           jnp.min(jnp.where(covis_mask, s, 1.0)), 0.0)
-    # temporal exclusion by TIMESTAMP (2 s) in addition to 8 keyframe ids:
+    # temporal exclusion by TIMESTAMP (2 s) in addition to 8 keyframe ids
+    # (kf_ts is MAP-RELATIVE — the tracker subtracts a float64 origin before
+    # insert, so the f32 subtraction below keeps sub-second resolution even
+    # for epoch-stamped datasets like EuRoC):
     # with the lagged/pipelined front end, keyframes born within the
     # in-flight window can carry duplicate landmarks (bindings computed
     # against a stale map), so covisibility alone cannot be trusted to
@@ -493,8 +508,65 @@ def loop_probe(m: ms.MapState, bow_db, active, centroids, idf, kf_id,
         | (dts < 2.0)
     s = jnp.where(exclude, -1.0, s)
     top_s, top_i = jax.lax.top_k(s, n_best)
+    if prev_cand is None:
+        covis_out = covis_row[top_i]
+    else:
+        pc = jnp.clip(prev_cand, 0, K - 1)
+        covis_out = (O @ O[pc])[top_i] * (prev_cand >= 0)
+    # BoW-match count of the top candidate (the nBoWMatches >= 20 gate of
+    # DetectCommonRegionsFromBoW, LoopClosing.cc:581): computing it here —
+    # one (F,F) Hamming matmul — lets the host kill perceptual-aliasing
+    # candidates from the pack alone, with ZERO further device round trips
+    _pa, _pb, _ua, _ub, bow_valid, _idx = match_kf_landmarks(m, kf_id,
+                                                             top_i[0])
+    n_bow = jnp.sum(bow_valid.astype(jnp.float32))
     return jnp.concatenate([top_i.astype(jnp.float32), top_s,
-                            covis_row[top_i], min_score[None]])
+                            covis_out, min_score[None], n_bow[None]])
+
+
+@partial(jax.jit, static_argnames=("k", "depth", "n_best", "cam_model",
+                                   "img_w", "img_h", "n_levels", "n_tri",
+                                   "n_fuse", "do_cull_kf", "with_probe"))
+def mapper_step_fused(m: ms.MapState, bow_db, active, centroids, idf, kf_id,
+                      cam_params, k: int, depth: int, n_best: int = 3,
+                      cam_model: int = 0, img_w: int = 640, img_h: int = 400,
+                      n_levels: int = 8, n_tri: int = 10, n_fuse: int = 3,
+                      do_cull_kf: bool = True, with_probe: bool = True,
+                      th_far=None, prev_cand=None):
+    """The ENTIRE per-keyframe mapper-thread chain as one executable:
+    ComputeBoW + database add (LocalMapping::ProcessNewKeyFrame,
+    LocalMapping.cc:304) -> cull/triangulate/fuse/KF-cull (mapping_step) ->
+    the LoopClosing candidate probe (NewDetectCommonRegions fast path,
+    LoopClosing.cc:324). Issued as 4 separate dispatches the mapper thread
+    paid 4 GIL-contended launch turns per keyframe while holding the map
+    lock; fused it pays one.
+
+    Returns (new map, new bow_db, new active, probe_pack (16,)). Pack
+    layout: [ids(3) | scores(3) | covis_w(3) | min_score | n_mp | n_kf |
+    zeros] — slots 10/11 carry the landmark/keyframe counts so the host
+    tracks capacity pressure without a dedicated fetch."""
+    from ..models.vocabulary import _descend, bow_vector
+    from .local_mapping import mapping_step
+
+    kf_id = jnp.asarray(kf_id, jnp.int32)
+    words = _descend(centroids, m.kf_desc[kf_id], k, depth)
+    v = bow_vector(words, m.kf_feat_valid[kf_id], idf, k ** depth)
+    bow_db2 = bow_db.at[kf_id].set(v)
+    active2 = active.at[kf_id].set(True)
+    m2 = mapping_step(m, kf_id, cam_params, cam_model=cam_model, img_w=img_w,
+                      img_h=img_h, n_levels=n_levels, n_tri=n_tri,
+                      n_fuse=n_fuse, do_cull_kf=do_cull_kf, th_far=th_far)
+    if with_probe:
+        probe = loop_probe(m2, bow_db2, active2, centroids, idf, kf_id,
+                           k=k, depth=depth, n_best=n_best,
+                           prev_cand=prev_cand)
+    else:
+        probe = jnp.full(3 * n_best + 2, -1.0, jnp.float32)
+    aux = jnp.stack([m2.n_mp.astype(jnp.float32),
+                     m2.n_kf.astype(jnp.float32)])
+    pack = jnp.concatenate([probe, aux])
+    pack = jnp.concatenate([pack, jnp.zeros(16 - pack.shape[0], jnp.float32)])
+    return m2, bow_db2, active2, pack
 
 
 class LoopCloser:
@@ -535,6 +607,11 @@ class LoopCloser:
         # stereo/RGBD: depth fixes scale, Sim3Solver runs with bFixScale
         # (LoopClosing.cc:585 mbFixScale)
         self.fix_scale = fix_scale
+        # rigid delta of the LAST correction (device arrays, set by
+        # correct()): consumers fetch it once per actual loop instead of
+        # snapshotting poses around every probe (two ~26 ms fetches per
+        # probe on the tunneled backend)
+        self.last_delta = None
         # persistent loop edges (KeyFrame::mspLoopEdges, KeyFrame.h:324):
         # every confirmed loop's (loop_kf, cur_kf) pair is remembered and
         # re-enters every later essential-graph optimization, so a second
@@ -582,8 +659,9 @@ class LoopCloser:
         voc = self.pr.voc
         out = loop_probe(m, self.pr.bow_db, self.pr.active, voc.centroids,
                          voc.idf, jnp.int32(kf_id), k=voc.k, depth=voc.depth,
-                         n_best=self.PROBE_N)
-        return jnp.concatenate([out, jnp.zeros(16 - 3 * self.PROBE_N - 1)])
+                         n_best=self.PROBE_N,
+                         prev_cand=jnp.int32(self.consistent_candidate))
+        return jnp.concatenate([out, jnp.zeros(16 - 3 * self.PROBE_N - 2)])
 
     def on_probe_result(self, m: ms.MapState, kf_id: int, vals,
                         cam_params) -> ms.MapState:
@@ -594,7 +672,9 @@ class LoopCloser:
         scores = vals[n:2 * n]
         covis_w = vals[2 * n:3 * n]
         return self._after_probe(m, kf_id, ids, scores, covis_w, cam_params,
-                                 min_score=float(vals[3 * n]))
+                                 min_score=float(vals[3 * n]),
+                                 n_bow=float(vals[3 * n + 1])
+                                 if len(vals) > 3 * n + 1 else None)
 
     def _probe(self, m: ms.MapState, kf_id: int):
         """Candidate retrieval: fused single-fetch path for the dense JAX
@@ -605,7 +685,8 @@ class LoopCloser:
             voc = self.pr.voc
             out = np.asarray(loop_probe(
                 m, self.pr.bow_db, self.pr.active, voc.centroids, voc.idf,
-                jnp.int32(kf_id), k=voc.k, depth=voc.depth, n_best=n_best))
+                jnp.int32(kf_id), k=voc.k, depth=voc.depth, n_best=n_best,
+                prev_cand=jnp.int32(self.consistent_candidate)))
             return (out[:n_best].astype(np.int32), out[n_best:2 * n_best],
                     out[2 * n_best:3 * n_best], float(out[3 * n_best]))
         covis = np.asarray(ms.covisibility(m)[kf_id])
@@ -634,8 +715,15 @@ class LoopCloser:
                                     exclude_mask=jnp.asarray(exclude),
                                     n_best=n_best)
         ids = np.asarray(ids)
-        return (ids, np.asarray(scores),
-                covis[np.clip(ids, 0, m.max_kf - 1)], min_score)
+        # candidate-group consistency weight vs the PREVIOUS consistent
+        # candidate (see loop_probe docstring)
+        prev = self.consistent_candidate
+        if prev >= 0:
+            cw = np.asarray(ms.covisibility(m)[prev])[
+                np.clip(ids, 0, m.max_kf - 1)]
+        else:
+            cw = np.zeros(len(ids), np.float32)
+        return (ids, np.asarray(scores), cw, min_score)
 
     def on_keyframe(self, m: ms.MapState, kf_id: int, cam_params,
                     n_kf: Optional[int] = None) -> ms.MapState:
@@ -657,24 +745,47 @@ class LoopCloser:
         return self._after_probe(m, kf_id, ids, scores, covis_w, cam_params,
                                  min_score=min_score)
 
+    # when True, candidates must also beat the worst covisible neighbor's
+    # BoW score (the ORB-SLAM2-era DetectLoop minScore). The production
+    # ORB-SLAM3 path this build follows (NewDetectCommonRegions,
+    # LoopClosing.cc:491: DetectNBestCandidates(3) with NO score floor)
+    # relies on the geometric cascade + 3-coincidence consistency instead —
+    # in self-similar scenes the covisible floor suppresses TRUE revisits
+    # (neighbors look as alike as the revisit does).
+    use_min_score_floor = False
+
     def _after_probe(self, m: ms.MapState, kf_id: int, ids, scores, covis_w,
-                     cam_params, min_score: float = 0.0) -> ms.MapState:
+                     cam_params, min_score: float = 0.0,
+                     n_bow=None) -> ms.MapState:
         cand = int(ids[0])
-        # a candidate must beat BOTH the absolute floor and the worst
-        # covisible neighbor's similarity (DetectLoop minScore,
-        # LoopClosing.cc:96+) — the aliasing defense in self-similar scenes
-        if cand < 0 or float(scores[0]) <= max(0.015, min_score):
+        floor = max(0.015, min_score) if self.use_min_score_floor else 0.015
+        if cand < 0 or float(scores[0]) <= floor:
             self.consistency_count = 0
             return m
 
-        # temporal consistency (3 consecutive hits on covisible candidates)
+        # temporal consistency: 3 consecutive keyframes whose candidate
+        # group overlaps the previous one (mnLoopNumCoincidences >= 3,
+        # LoopClosing.cc:396+). covis_w[0] = covisibility of the new
+        # candidate with the PREVIOUS consistent candidate (probe pack);
+        # nearby-id candidates count too (dense keyframing makes adjacent
+        # ids covisible by construction).
         if self.consistent_candidate >= 0 and \
-                (covis_w[0] > 0 or abs(cand - self.consistent_candidate) <= 2):
+                (covis_w[0] > 0 or abs(cand - self.consistent_candidate) <= 5):
             self.consistency_count += 1
         else:
             self.consistency_count = 1
+        Verbose.log(f"[loop] KF {kf_id}: cand {cand} score "
+                    f"{float(scores[0]):.3f} covis_prev {float(covis_w[0]):.0f} "
+                    f"(prev {self.consistent_candidate}) "
+                    f"count {self.consistency_count}", lvl=2)
         self.consistent_candidate = cand
         if self.consistency_count < self.consistency_needed:
+            return m
+        # BoW-match gate from the probe pack (nBoWMatches >= 20,
+        # LoopClosing.cc:581): perceptual-aliasing candidates — high BoW
+        # score, no geometric support — die HERE with zero device round
+        # trips (the count was computed inside the fused probe)
+        if n_bow is not None and 0 <= n_bow < self.min_matches:
             return m
 
         # geometric verification cascade (DetectCommonRegionsFromBoW,
@@ -847,4 +958,11 @@ class LoopCloser:
         new_R, new_t, new_s = pose_graph.optimize_pose_graph(
             kf_R0, kf_t0, kf_s0, m.kf_valid, fixed,
             e_i, e_j, e_R, e_t, e_s, e_valid, mode=mode, n_iters=15)
-        return apply_pose_graph_result(m, new_R, new_t, new_s, old_R, old_t)
+        m2 = apply_pose_graph_result(m, new_R, new_t, new_s, old_R, old_t)
+        # rigid delta of the current KF's pose (for in-flight frame poses
+        # tracked against the pre-correction world) — device-side; fetched
+        # by the consumer only when a loop actually fired
+        oRc, oTc = old_R[kf_cur], old_t[kf_cur]
+        nRc, nTc = m2.kf_R[kf_cur], m2.kf_t[kf_cur]
+        self.last_delta = (oRc.T @ nRc, oRc.T @ (nTc - oTc))
+        return m2

@@ -105,6 +105,13 @@ def partition_problem(prob: BAProblem, n_shards: int) -> BAProblem:
     )
 
 
+# compiled-program cache: jax.jit on a fresh closure would retrace (and on
+# a cache-cold backend recompile) the full distributed-BA program on EVERY
+# call — e.g. each GBA via map_ba — which can cost more than the sharding
+# saves. Keyed by everything that shapes the traced program.
+_DIST_BA_CACHE: dict = {}
+
+
 def dist_bundle_adjust(prob: BAProblem, cam_params, mesh: Mesh,
                        cam_model: int = 0, bf: float = 0.0,
                        n_iters: int = 10, lm_lambda: float = 1e-4,
@@ -114,25 +121,34 @@ def dist_bundle_adjust(prob: BAProblem, cam_params, mesh: Mesh,
     Returns (cam_R, cam_t, points, edge_inlier) — cameras replicated,
     points/edge masks sharded over `axis`.
     """
-    n_dev = mesh.shape[axis]
-    Pp = prob.points.shape[0]
-    per_pt = Pp // n_dev
-
     chi2_th = jnp.where(prob.e_stereo, CHI2_STEREO, CHI2_MONO)
     delta = jnp.where(prob.e_stereo, DELTA_STEREO, DELTA_MONO)
-    free_cam_g = (prob.cam_valid & (~prob.cam_fixed)).astype(jnp.float32)
+
+    key = (tuple(mesh.devices.flat), mesh.axis_names, axis,
+           int(cam_model), float(bf), int(n_iters), float(lm_lambda),
+           int(chi2_gate_after), prob.cam_R.shape, prob.points.shape,
+           prob.e_cam.shape)
+    cached = _DIST_BA_CACHE.get(key)
+    if cached is not None:
+        return cached(prob.cam_R, prob.cam_t, prob.cam_fixed, prob.cam_valid,
+                      prob.points, prob.pt_valid, prob.e_cam, prob.e_pt,
+                      prob.e_uv, prob.e_inv_sigma2, prob.e_u_right,
+                      prob.e_stereo, prob.e_valid, chi2_th, delta, cam_params)
 
     pt_spec = P(axis)
     rep = P()
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(rep, rep, pt_spec, pt_spec,
+             in_specs=(rep, rep, rep, rep, pt_spec, pt_spec,
                        pt_spec, pt_spec, pt_spec, pt_spec, pt_spec, pt_spec,
-                       pt_spec, pt_spec, pt_spec),
+                       pt_spec, pt_spec, pt_spec, rep),
              out_specs=(rep, rep, pt_spec, pt_spec),
              check_vma=False)
-    def run(cam_R, cam_t, points, pt_valid, e_cam, e_pt, e_uv, e_is2,
-            e_ur, e_st, e_val, chi2_th_l, delta_l):
+    def run(cam_R, cam_t, cam_fixed, cam_valid, points, pt_valid,
+            e_cam, e_pt, e_uv, e_is2,
+            e_ur, e_st, e_val, chi2_th_l, delta_l, cam_params):
+        per_pt = points.shape[0]          # local shard size
+        free_cam_g = (cam_valid & (~cam_fixed)).astype(jnp.float32)
         shard = jax.lax.axis_index(axis)
         pt_off = shard * per_pt
         e_pt_loc = jnp.clip(e_pt - pt_off, 0, per_pt - 1)
@@ -141,8 +157,8 @@ def dist_bundle_adjust(prob: BAProblem, cam_params, mesh: Mesh,
 
         def local_prob(cR, ct, pts):
             return BAProblem(
-                cam_R=cR, cam_t=ct, cam_fixed=prob.cam_fixed,
-                cam_valid=prob.cam_valid, points=pts, pt_valid=pt_valid,
+                cam_R=cR, cam_t=ct, cam_fixed=cam_fixed,
+                cam_valid=cam_valid, points=pts, pt_valid=pt_valid,
                 e_cam=e_cam, e_pt=e_pt_loc, e_uv=e_uv, e_inv_sigma2=e_is2,
                 e_u_right=e_ur, e_stereo=e_st, e_valid=e_val & e_own)
 
@@ -218,8 +234,11 @@ def dist_bundle_adjust(prob: BAProblem, cam_params, mesh: Mesh,
 
     # jit the whole shard_mapped program: without it the sharded ops
     # dispatch eagerly one by one (measured ~40% throughput loss even on a
-    # single device)
-    return jax.jit(run)(
-        prob.cam_R, prob.cam_t, prob.points, prob.pt_valid,
-        prob.e_cam, prob.e_pt, prob.e_uv, prob.e_inv_sigma2,
-        prob.e_u_right, prob.e_stereo, prob.e_valid, chi2_th, delta)
+    # single device). The jitted program is cached module-level so repeat
+    # calls (every GBA) skip retracing.
+    run_jit = jax.jit(run)
+    _DIST_BA_CACHE[key] = run_jit
+    return run_jit(prob.cam_R, prob.cam_t, prob.cam_fixed, prob.cam_valid,
+                   prob.points, prob.pt_valid, prob.e_cam, prob.e_pt,
+                   prob.e_uv, prob.e_inv_sigma2, prob.e_u_right,
+                   prob.e_stereo, prob.e_valid, chi2_th, delta, cam_params)

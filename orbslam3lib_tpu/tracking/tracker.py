@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
+from time import perf_counter as _perf
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -59,12 +60,47 @@ RECENTLY_LOST = 2
 LOST = 3
 
 
+def _local_map_mask(m: ms.MapState, prev_mp, ref_kf=None):
+    """Local-map landmark mask (TrackLocalMap's UpdateLocalKeyFrames +
+    UpdateLocalPoints, Tracking.cc:3478-3560): keyframes sharing
+    observations with the previous frame's tracked landmarks, plus their
+    covisible neighbors, contribute their landmarks. Restricting the
+    stage-2 search to this set is what the reference does — and it is what
+    makes a drifted revisit REQUIRE loop closure instead of silently
+    re-binding against the whole map. Falls back to the full map when the
+    previous frame carries no bindings (fresh chain / after reloc).
+    All matmuls; O(K*P) on the MXU."""
+    P, K = m.max_mp, m.max_kf
+    prev_ok = prev_mp >= 0
+    ind = jnp.zeros(P + 1, jnp.float32).at[
+        jnp.where(prev_ok, prev_mp, P)].add(1.0, mode="drop")[:P]
+    O = ms.observation_matrix(m)                     # (K, P)
+    counts = O @ ind                                 # shared-point counts
+    k1 = (counts > 0) & m.kf_valid                   # local keyframes
+    if ref_kf is not None:
+        # no bindings (fresh chain after a drain/correction): seed from the
+        # reference keyframe's neighborhood (the reference re-enters
+        # TrackReferenceKeyFrame then rebuilds the local map from it) —
+        # NOT from the whole map, which would let a drifted revisit
+        # re-bind old regions without a loop closure
+        ref_vec = (jnp.zeros(K, bool)
+                   .at[jnp.clip(ref_kf, 0, K - 1)].set(ref_kf >= 0))
+        k1 = k1 | (ref_vec & ~jnp.any(prev_ok) & m.kf_valid)
+    # + covisible neighbors of the local set (GetBestCovisibilityKeyFrames)
+    covis = O @ (O.T @ k1.astype(jnp.float32))       # (K,)
+    k2 = (covis > 0) & m.kf_valid
+    mask = (O.T @ (k1 | k2).astype(jnp.float32)) > 0  # (P,) local points
+    has_any = jnp.any(mask)
+    return mask | ~has_any                           # empty -> full map
+
+
 def _two_stage_core(m: ms.MapState, R0, t0, feat_xy, feat_level, feat_desc,
                     feat_valid, u_right, depth, cam_params, bf: float,
                     r_coarse: float, r_fine: float,
                     cam_model: int, img_w: int, img_h: int,
                     n_levels: int, pose_rounds: int, pose_iters: int,
-                    prev_mp=None, prev_angle=None, feat_angle=None):
+                    prev_mp=None, prev_angle=None, feat_angle=None,
+                    local_only: bool = False, lm_mask=None):
     """Two-stage projection search + pose optimization against the map.
 
     Stage 1 is TrackWithMotionModel (ORBmatcher::SearchByProjection frame ->
@@ -82,10 +118,14 @@ def _two_stage_core(m: ms.MapState, R0, t0, feat_xy, feat_level, feat_desc,
 
     F = feat_xy.shape[0]
     P = m.max_mp
+    if lm_mask is None and local_only and prev_mp is not None:
+        lm_mask = _local_map_mask(m, prev_mp)
 
     def one_stage(R, t, radius, rounds, iters, sub_ids=None):
         if sub_ids is None:
             pos, desc, val = m.mp_pos, m.mp_desc, m.mp_valid
+            if lm_mask is not None:
+                val = val & lm_mask
             normal, mind, maxd = m.mp_normal, m.mp_min_dist, m.mp_max_dist
             ids = None
             n_rows = P
@@ -149,17 +189,21 @@ def _two_stage_core(m: ms.MapState, R0, t0, feat_xy, feat_level, feat_desc,
 
 @partial(jax.jit, static_argnames=("bf", "r_coarse", "r_fine", "cam_model",
                                    "img_w", "img_h", "n_levels",
-                                   "pose_rounds", "pose_iters"))
+                                   "pose_rounds", "pose_iters", "local_only"))
 def _track_two_stage(m: ms.MapState, R0, t0, feat_xy, feat_level, feat_desc,
                      feat_valid, u_right, depth, cam_params, bf: float,
                      r_coarse: float, r_fine: float,
                      cam_model: int, img_w: int, img_h: int,
-                     n_levels: int, pose_rounds: int, pose_iters: int):
+                     n_levels: int, pose_rounds: int, pose_iters: int,
+                     prev_mp=None, prev_angle=None, feat_angle=None,
+                     local_only: bool = False):
     out = _two_stage_core(m, R0, t0, feat_xy, feat_level, feat_desc,
                           feat_valid, u_right, depth, cam_params, bf,
                           r_coarse, r_fine, cam_model, img_w, img_h,
-                          n_levels, pose_rounds, pose_iters)
-    return out[:7]
+                          n_levels, pose_rounds, pose_iters,
+                          prev_mp=prev_mp, prev_angle=prev_angle,
+                          feat_angle=feat_angle, local_only=local_only)
+    return out[:7] + (out[8],)   # ... + feat_mp_out (next frame's bindings)
 
 
 # scalar-pack layout for the fused per-frame step (see _frame_step_stereo):
@@ -170,7 +214,8 @@ PACK_LEN = 16
 def _frame_body(m: ms.MapState, carry, img_pair, threshold, cam_params,
                 cam2_params, R_lr, t_lr, bf, min_z, close_depth, r_coarse,
                 r_fine, cam_model, img_w, img_h, n_levels, pose_rounds,
-                pose_iters, max_kp, fisheye, sad_refine):
+                pose_iters, max_kp, fisheye, sad_refine, local_only=False,
+                lm_mask=None):
     """One frame of the stereo tracking hot path: extraction -> stereo match
     (+SAD refine) -> constant-velocity predict -> two-stage track + pose LM
     -> velocity/stat updates. carry = (R, t, R_vel, t_vel, prev_mp,
@@ -203,7 +248,8 @@ def _frame_body(m: ms.MapState, carry, img_pair, threshold, cam_params,
         m, R0, t0, feats.xy[0], feats.level[0], feats.desc[0],
         feats.valid[0], u_r, depth, cam_params, bf, r_coarse, r_fine,
         cam_model, img_w, img_h, n_levels, pose_rounds, pose_iters,
-        prev_mp=prev_mp, prev_angle=prev_angle, feat_angle=feats.angle[0])
+        prev_mp=prev_mp, prev_angle=prev_angle, feat_angle=feats.angle[0],
+        local_only=local_only, lm_mask=lm_mask)
     Ri, ti = lie.se3_inverse(R_prev, t_prev)
     R_vel2, t_vel2 = lie.se3_compose(R, t, Ri, ti)
     close = feats.valid[0] & (depth > 0.05) & (depth < close_depth)
@@ -228,14 +274,15 @@ def _frame_body(m: ms.MapState, carry, img_pair, threshold, cam_params,
 @partial(jax.jit, static_argnames=(
     "bf", "min_z", "close_depth", "r_coarse", "r_fine", "cam_model",
     "img_w", "img_h", "n_levels", "pose_rounds", "pose_iters", "max_kp",
-    "fisheye", "sad_refine"))
+    "fisheye", "sad_refine", "local_only"))
 def _frame_step_chunk(m: ms.MapState, R_prev, t_prev, R_vel, t_vel, prev_mp,
                       prev_angle, imgs, threshold, cam_params, cam2_params,
                       R_lr, t_lr, bf: float, min_z: float,
                       close_depth: float, r_coarse: float, r_fine: float,
                       cam_model: int, img_w: int, img_h: int,
                       n_levels: int, pose_rounds: int, pose_iters: int,
-                      max_kp: int, fisheye: bool, sad_refine: bool):
+                      max_kp: int, fisheye: bool, sad_refine: bool,
+                      local_only: bool = False, ref_kf=None):
     """A CHUNK of frames (C, 2, H, W) as one executable via lax.scan.
 
     The reference pays one FastRPC crossing per frame
@@ -248,13 +295,19 @@ def _frame_step_chunk(m: ms.MapState, R_prev, t_prev, R_vel, t_vel, prev_mp,
     """
     carry0 = (R_prev, t_prev, R_vel, t_vel, prev_mp, prev_angle,
               m.mp_visible, m.mp_found)
+    # the local-map mask is computed ONCE per chunk from the entry bindings
+    # (a <=C-frame lag, consistent with the chunk's read-only-map design)
+    # instead of per frame inside the scan
+    lm_mask = _local_map_mask(m, prev_mp, ref_kf=ref_kf) if local_only \
+        else None
 
     def body(carry, img_pair):
         return _frame_body(m, carry, img_pair, threshold, cam_params,
                            cam2_params, R_lr, t_lr, bf, min_z, close_depth,
                            r_coarse, r_fine, cam_model, img_w, img_h,
                            n_levels, pose_rounds, pose_iters, max_kp,
-                           fisheye, sad_refine)
+                           fisheye, sad_refine, local_only=local_only,
+                           lm_mask=lm_mask)
 
     carry, ys = jax.lax.scan(body, carry0, imgs)
     return carry, ys
@@ -275,7 +328,7 @@ def _insert_kf_and_spawn(m: ms.MapState, R, t, ts, feat_xy, feat_level,
                          feat_desc, feat_valid, u_right, depth, mp_feat,
                          cam_params, close_depth: float, cam_model: int,
                          n_levels: int, v=None, bg=None, ba=None, angle=None,
-                         img_w: int = 640, img_h: int = 400):
+                         img_w: int = 640, img_h: int = 400, th_far=None):
     """Insert a keyframe; bind tracked landmarks; spawn new close-stereo
     landmarks for unmatched features (CreateNewKeyFrame, Tracking.cc:3277)."""
     F = feat_xy.shape[0]
@@ -288,17 +341,22 @@ def _insert_kf_and_spawn(m: ms.MapState, R, t, ts, feat_xy, feat_level,
     assoc = jnp.full(F, -1, jnp.int32).at[tgt].set(pidx, mode="drop")
 
     # dedupe at insert: re-associate still-unmatched features against the
-    # CURRENT map before any spawning. Pipelined bindings are up to
-    # pipeline+chunk frames stale — landmarks born in flight are invisible
-    # to the chunk executable, and spawning "new" points for them floods
-    # the map with duplicates, zeroing covisibility between overlapping
-    # keyframes (which in turn disables the loop-detection exclusion and
-    # lets self-similar corridor keyframes masquerade as loop closures).
+    # RECENTLY-SPAWNED landmarks before any spawning. Pipelined bindings are
+    # up to pipeline+chunk frames stale — landmarks born in flight are
+    # invisible to the chunk executable, and spawning "new" points for them
+    # floods the map with duplicates, zeroing covisibility between
+    # overlapping keyframes. Restricted to landmarks born within the last 8
+    # keyframes (the in-flight window): re-binding OLD map regions here
+    # would short-circuit the loop-closing path the reference routes
+    # drifted revisits through (the reference's CreateNewKeyFrame does no
+    # re-association at all).
+    recent = m.mp_first_kf >= m.n_kf - 8
     unassoc = feat_valid & (assoc < 0)
     bound = jnp.zeros(m.max_mp + 1, bool).at[
         jnp.where(assoc >= 0, assoc, m.max_mp)].set(True, mode="drop")
     pm = matching.search_by_projection(
-        m.mp_pos, m.mp_desc, m.mp_valid & ~bound[:m.max_mp], m.mp_normal,
+        m.mp_pos, m.mp_desc, m.mp_valid & ~bound[:m.max_mp] & recent,
+        m.mp_normal,
         m.mp_min_dist, m.mp_max_dist, R, t, cam_params, feat_xy, feat_level,
         feat_desc, unassoc, radius=4.0, cam_model=cam_model, img_w=img_w,
         img_h=img_h, th_desc=matching.TH_LOW, n_levels=n_levels)
@@ -319,6 +377,10 @@ def _insert_kf_and_spawn(m: ms.MapState, R, t, ts, feat_xy, feat_level,
     nearest = jax.lax.top_k(-d_sort, min(100, F))[0]
     d100 = -nearest[-1]  # depth of the 100th-nearest candidate
     want = cand & ((depth < close_depth) | (depth <= d100))
+    if th_far is not None:
+        # thFarPoints: never spawn landmarks beyond the configured depth
+        # (System.cc:174-184 "Discard points further than X m")
+        want = want & ((th_far <= 0) | (depth < th_far))
     ray = cameras.unproject(cam_model, cam_params, feat_xy)      # z=1 rays
     p_cam = ray * depth[:, None]
     Rwc, c_w = lie.se3_inverse(R, t)
@@ -381,6 +443,8 @@ def _mono_init_map(m: ms.MapState, ts0, ts1, xy0, lvl0, desc0, fv0, ang0,
 class Tracker:
     """Host-side orchestration of the full SLAM loop (multi-sensor)."""
 
+    PROBE_SLOTS = 8   # fixed probe capacity of the per-burst batched fetch
+
     def __init__(self, cfg: SlamConfig, sensor: str = "stereo",
                  vocabulary=None, enable_loop_closing: bool = True,
                  enable_timing: bool = False, async_mapping: bool = False,
@@ -400,8 +464,19 @@ class Tracker:
         self._dev_static = None       # cached device copies of rig constants
         self._dev_tbc = None          # cached (R_bc, t_bc) device arrays
         self._dev_threshold = None    # (host value, device scalar)
-        self._probe_pending: List = []  # (kf_id, probe handle, burst no)
+        # loop-probe packs awaiting a ride on the next burst's batched
+        # fetch: (kf_id, device handle of 16 floats). One D2H RPC per burst
+        # carries the scalar packs AND every pending probe — fetch COUNT is
+        # the cost driver on the tunneled backend (~26 ms latency per RPC
+        # regardless of size).
+        self._probe_unfetched: List = []
         self._burst_no = 0            # dispatch counter (probe aging)
+        self._kf_wall: dict = {}      # kf id -> creation wall time (loop
+                                      # detection-to-correction latency)
+        self._zeros16 = None          # cached device pad for probe slots
+        # sync-path previous-frame bindings (feature slot -> landmark id)
+        self._prev_feat_mp = None
+        self._prev_feat_angle = None
         # stereo rectification (Settings.cc:485 precomputeRectificationMaps):
         # raw distorted stereo input is remapped on device each frame; the
         # EFFECTIVE camera becomes the shared rectified pinhole, the IMU
@@ -432,6 +507,10 @@ class Tracker:
             Verbose.log(f"[tracker] rectification maps ready (f={fxn:.1f}, "
                         f"b={rr.baseline:.4f})")
         mc = cfg.map
+        # thFarPoints depth cut (System.cc:174-184): cached device scalar,
+        # None = disabled
+        self._th_far = (jnp.float32(cfg.tracker.th_far_points)
+                        if cfg.tracker.th_far_points > 0 else None)
         self.atlas = Atlas(mc.max_kf, mc.max_mp, cfg.orb.max_kp)
         self.threshold = ThresholdController(
             target=cfg.orb.target_features, band=cfg.orb.threshold_band,
@@ -451,6 +530,12 @@ class Tracker:
                       "n_reloc": 0, "n_new_maps": 0, "n_loops": 0,
                       "n_map_merges": 0, "n_resets": 0}
         self.lost_since: Optional[float] = None
+        # map-relative timestamp origin (float64, host): keyframe timestamps
+        # stored in the float32 map tensors are OFFSETS from the first
+        # keyframe. Absolute epoch stamps (EuRoC ~1.4e9 s) have ~128 s
+        # float32 resolution, which silently defeats the 2 s temporal
+        # exclusion gate in loop detection (loop_probe's dts test).
+        self._ts_origin: Optional[float] = None
         # mono init state
         self._init_frame = None
         self._init_prev_xy = None    # mvbPrevMatched window anchors
@@ -490,13 +575,16 @@ class Tracker:
         import queue as _queue
         import threading as _threading
         from concurrent.futures import ThreadPoolExecutor
-        # dedicated D2H fetcher: copy_to_host_async is not effective on the
+        # dedicated D2H fetchers: copy_to_host_async is not effective on the
         # tunneled backend, so a result fetch at consume time is a fresh RPC
         # that waits behind every queued computation. Submitting the fetch
         # from a background thread right after dispatch overlaps that wait
         # with the host's dispatching; finalize then checks a LOCAL
         # Future.done() instead of paying an is_ready()/fetch round trip.
-        self._fetch_pool = ThreadPoolExecutor(max_workers=1)
+        # 4 workers: fetch RPCs overlap on the tunnel (measured: 4
+        # concurrent 26 ms fetches complete in ~28 ms total), so back-to-back
+        # bursts never serialize behind one in-flight fetch.
+        self._fetch_pool = ThreadPoolExecutor(max_workers=4)
         self._map_lock = _threading.RLock()
         self._map_queue = None
         self._mapper_thread = None
@@ -515,8 +603,21 @@ class Tracker:
         # ConstraintPoseImu marginalization prior: (state, 15x15 H) from the
         # previous frame's inertial solve; None right after a keyframe
         self._inertial_prior = None
+        # bad-IMU guard (LocalMapping.cc:140-147 mbBadImu): set by
+        # _check_bad_imu when the inertial init phase sees too little
+        # motion; consumed at the next frame by an active-map reset
+        # (Tracking.cc:1858-1863)
+        self._bad_imu = False
+        self._kf_centers: List[np.ndarray] = []  # last 3 KF camera centers
 
     # -- plumbing -----------------------------------------------------------
+    def _rel_ts(self, ts: float) -> float:
+        """Map-relative timestamp for the float32 map tensors (origin = the
+        map's first keyframe, kept float64 on the host)."""
+        if self._ts_origin is None:
+            self._ts_origin = float(ts)
+        return float(ts) - self._ts_origin
+
     @property
     def map(self) -> ms.MapState:
         return self.atlas.current_map
@@ -575,7 +676,7 @@ class Tracker:
                 self.last_kf_id = int(kf_new_np[self.last_kf_id])
             # in-flight chunk records / probes carry pre-compaction ids
             self._chain = None
-            self._probe_pending = []
+            self._probe_unfetched = []
             if self.loop_closer is not None:
                 lc = self.loop_closer
                 if 0 <= lc.last_loop_kf < len(kf_new_np):
@@ -656,6 +757,13 @@ class Tracker:
     def process_frame(self, img, ts: float) -> dict:
         """img: (2,H,W) stereo pair or (H,W) mono image."""
         cfg = self.cfg
+        # bad-IMU reset (Tracking.cc:1858-1863: "Reset map because local
+        # mapper set the bad imu flag")
+        if self._bad_imu:
+            Verbose.log("[tracker] reset active map: bad IMU flag")
+            self._bad_imu = False
+            self._drain_pipeline()
+            self._reset_active_map()
         # timestamp sanity guards (Tracking.cc:1871-1909): a backwards jump
         # resets the active map; a forward gap > 1 s spawns a new map in the
         # Atlas (inertial chains can't bridge it) or resets a small map.
@@ -774,9 +882,12 @@ class Tracker:
         # start the H2D upload NOW (device_put is async): by dispatch time
         # the 512 KB frame already crossed the tunnel, overlapped with the
         # previous chunks' compute — the synchronous jnp.asarray(stack) at
-        # dispatch was ~3.5 ms/frame of pure host blocking
-        self._img_buf.append((jax.device_put(np.asarray(img)), ts,
-                              self.frame_id))
+        # dispatch was ~3.5 ms/frame of pure host blocking. Already-device
+        # frames (zero-copy ingest, the reference's rpcmem/AHB analog) pass
+        # through untouched.
+        img_dev = img if isinstance(img, jax.Array) \
+            else jax.device_put(np.asarray(img))
+        self._img_buf.append((img_dev, ts, self.frame_id))
         self.frame_id += 1
         self.stats["n_frames"] += 1
         if len(self._img_buf) >= self.chunk:
@@ -822,11 +933,14 @@ class Tracker:
             Rp, tp, Rv, tv, prev_mp, prev_ang = self._chain
             cam2_params, R_lr, t_lr = self._dev_static
             # frames were device_put at arrival: stacking is a device op
+            self.timer.start("pl_stack")
             imgs_dev = jnp.stack(imgs)
             if self._rect_maps is not None:
                 from ..utils.rectify import remap_bilinear
                 imgs_dev = remap_bilinear(imgs_dev.astype(jnp.float32),
                                           self._rect_maps)
+            self.timer.stop("pl_stack")
+            self.timer.start("pl_chunkcall")
             carry, ys = _frame_step_chunk(
                 self.map, Rp, tp, Rv, tv, prev_mp, prev_ang,
                 imgs_dev,
@@ -841,20 +955,36 @@ class Tracker:
                 pose_rounds=cfg.tracker.pose_rounds,
                 pose_iters=cfg.tracker.pose_iters, max_kp=cfg.orb.max_kp,
                 fisheye=bool(cfg.stereo.fisheye),
-                sad_refine=bool(cfg.stereo.sad_refine))
+                sad_refine=bool(cfg.stereo.sad_refine),
+                local_only=bool(cfg.tracker.local_map_tracking),
+                ref_kf=jnp.int32(self.last_kf_id))
             (R, t, Rv2, tv2, feat_mp_out, ang_out, mp_vis2, mp_fnd2) = carry
+            self.timer.stop("pl_chunkcall")
             self._chain = (R, t, Rv2, tv2, feat_mp_out, ang_out)
             self.map = self.map._replace(mp_visible=mp_vis2, mp_found=mp_fnd2)
+            # ONE batched D2H per burst: the (C,16) scalar packs PLUS every
+            # loop-probe pack waiting since the last burst ride a single
+            # device-side concatenation — fetch COUNT, not bytes, is what
+            # the ~26 ms/RPC tunnel charges for. The concat is padded to a
+            # FIXED slot count so only one concat program ever compiles
+            # (variable shapes would each pay a first-use compile inside a
+            # measured window).
+            self.timer.start("pl_cat")
+            probes = self._probe_unfetched[:self.PROBE_SLOTS]
+            self._probe_unfetched = self._probe_unfetched[self.PROBE_SLOTS:]
+            if self._zeros16 is None:
+                self._zeros16 = jnp.zeros(16, jnp.float32)
+            pads = [self._zeros16] * (self.PROBE_SLOTS - len(probes))
+            fetch_vec = jnp.concatenate(
+                [ys[0].reshape(-1)] + [h for (_k, h) in probes] + pads)
+            self.timer.stop("pl_cat")
             # record: (ts/fid lists, n_real, pack (C,16), feats, u_r, depth,
-            # mp_feat — each with leading chunk dim)
+            # mp_feat — each with leading chunk dim, probe kid list,
+            # fetch future)
             self._pending.append(
-                ([b[1] for b in buf], [b[2] for b in buf], n_real) + ys)
-            # fetch the scalar pack on the background fetcher NOW: the RPC
-            # blocks there until this chunk's compute retires, overlapping
-            # with the next chunks' dispatch — by finalize time the bytes
-            # are host-side and consume pays no round trip
-            self._pending[-1] = self._pending[-1] + (
-                self._fetch_pool.submit(np.asarray, ys[0]),)
+                ([b[1] for b in buf], [b[2] for b in buf], n_real) + ys
+                + ([k for (k, _h) in probes],
+                   self._fetch_pool.submit(np.asarray, fetch_vec)))
 
     @staticmethod
     def _xfer_done(h) -> bool:
@@ -874,55 +1004,68 @@ class Tracker:
         """Blocking drain of ALL in-flight chunks and probes."""
         self._finalize_impl(drain=True)
 
+    def _consume_probes(self, probe_list) -> list:
+        """Consume fetched loop-probe packs (kid, 16-float vec). Returns the
+        list of rigid deltas from any loop corrections (to compose onto
+        in-flight frame poses)."""
+        deltas = []
+        for kid, pv in probe_list:
+            # capacity pressure piggybacks on the probe pack (slots 11/12 =
+            # n_mp/n_kf, mapper_step_fused) — no dedicated fetch needed
+            if len(pv) >= 13 and pv[11] > 0:
+                self._mp_pressure = pv[11] >= 0.9 * self.map.max_mp
+            n_before = self.loop_closer.n_loops
+            self.map = self.loop_closer.on_probe_result(
+                self.map, kid, pv, self.cam_params)
+            if self.loop_closer.n_loops > n_before:
+                self.stats["n_loops"] += 1
+                # detection-to-correction latency (KF creation -> corrected)
+                if kid in self._kf_wall:
+                    self.stats["loop_latency_ms"] = round(
+                        (_perf() - self._kf_wall[kid]) * 1e3, 1)
+                self._chain = None  # poses moved: restart from map pose
+                # the marginalization prior anchors to a PRE-correction
+                # absolute pose with full 15x15 information — it must
+                # not pull the corrected pose back (ConstraintPoseImu
+                # is dropped on map changes in the reference too)
+                self._inertial_prior = None
+                if not self._in_mapper_thread:
+                    self.pose = (self.map.kf_R[kid], self.map.kf_t[kid])
+                self._maybe_start_gba()
+                # one fetch per ACTUAL loop (correct() recorded the delta
+                # device-side) instead of two per probe
+                dR, dt = self.loop_closer.last_delta
+                deltas.append((np.asarray(dR, np.float64),
+                               np.asarray(dt, np.float64)))
+        return deltas
+
+    def _split_record(self, rec):
+        """Fetch+split one record's batched transfer into (pack (C,16),
+        [(kid, probe vec)])."""
+        vec = np.asarray(rec[-1].result()).reshape(-1)
+        C = rec[3].shape[0]
+        # .copy(): fresh writable array (the loop-correction path composes
+        # the Sim3 delta in place)
+        pack = vec[:C * PACK_LEN].reshape(C, PACK_LEN).copy()
+        off = C * PACK_LEN
+        pr = [(kid, vec[off + 16 * i: off + 16 * (i + 1)])
+              for i, kid in enumerate(rec[-2])]
+        return pack, pr
+
     def _finalize_impl(self, drain: bool):
-        if not self._pending and not self._probe_pending:
+        if not self._pending and not (drain and self._probe_unfetched):
             return
         with self._map_lock:
             self.timer.start("pipeline_finalize")
-            # results arrive via the background fetcher (see __init__):
-            # Future.done() is a LOCAL check — no device round trip here
+            # pop the retired prefix of chunk records (results arrive via
+            # the background fetchers — Future.done() is a LOCAL check, no
+            # device round trip), plus enough of the oldest ones to keep at
+            # most `pipeline` frames in flight — blocking on the oldest
+            # chunk is exactly the backpressure we want
             self.timer.start("pl_poll")
             if drain:
-                probes, self._probe_pending = self._probe_pending, []
-            else:
-                probes = [p for p in self._probe_pending if p[1].done()]
-                self._probe_pending = [
-                    p for p in self._probe_pending if not p[1].done()]
-
-            # lagged loop-closing probes first (they predate every pending
-            # chunk); a correction moves keyframe poses, so collect each
-            # rigid delta to compose onto the in-flight frame poses below
-            deltas = []
-            for (kid, fut, *_rest) in probes:
-                pv = np.asarray(fut.result()).reshape(-1)
-                n_before = self.loop_closer.n_loops
-                old_R = np.asarray(self.map.kf_R[kid], np.float64)
-                old_t = np.asarray(self.map.kf_t[kid], np.float64)
-                self.map = self.loop_closer.on_probe_result(
-                    self.map, kid, pv, self.cam_params)
-                if self.loop_closer.n_loops > n_before:
-                    self.stats["n_loops"] += 1
-                    self._chain = None  # poses moved: restart from map pose
-                    self.pose = (self.map.kf_R[kid], self.map.kf_t[kid])
-                    self._maybe_start_gba()
-                    new_R = np.asarray(self.map.kf_R[kid], np.float64)
-                    new_t = np.asarray(self.map.kf_t[kid], np.float64)
-                    deltas.append((old_R.T @ new_R,
-                                   old_R.T @ (new_t - old_t)))
-
-            # pop the retired prefix of chunk records; on drain OR after a
-            # loop correction take everything (frames in flight were tracked
-            # against the pre-correction world and need the delta composed —
-            # CorrectLoop's mlRelativeFramePoses treatment,
-            # LoopClosing.cc:969+); otherwise also block on the oldest
-            # chunks if the backlog exceeds the 2*pipeline bound
-            if drain or deltas:
                 recs, self._pending = self._pending, []
             else:
-                # consume every chunk whose background fetch completed
-                # (local Future check), plus enough of the oldest ones to
-                # keep at most `pipeline` frames in flight — blocking on
-                # the oldest chunk is exactly the backpressure we want
                 recs = []
                 while self._pending and self._pending[0][-1].done():
                     recs.append(self._pending.pop(0))
@@ -931,19 +1074,39 @@ class Tracker:
                         sum(r[2] for r in self._pending) > limit:
                     recs.append(self._pending.pop(0))
             self.timer.stop("pl_poll")
-            if not recs:
+            if not recs and not (drain and self._probe_unfetched):
                 self.timer.stop("pipeline_finalize")
                 return
 
             self.timer.start("pipeline_asarray")
-            # packs were fetched by the background thread; result() only
-            # blocks if this record was popped by the backpressure bound.
-            # np.concatenate = fresh writable array (the loop-correction
-            # path composes the Sim3 delta in place)
-            pack_vals = np.concatenate(
-                [np.asarray(r[-1].result()).reshape(-1, PACK_LEN)
-                 for r in recs])
+            splits = [self._split_record(r) for r in recs]
             self.timer.stop("pipeline_asarray")
+
+            # lagged loop-closing probes first (each predates its record's
+            # frames); a correction moves keyframe poses, so collect each
+            # rigid delta to compose onto the in-flight frame poses below
+            probe_list = [p for (_pk, ps) in splits for p in ps]
+            if drain and self._probe_unfetched:
+                # probes with no burst left to ride: fetch directly
+                left, self._probe_unfetched = self._probe_unfetched, []
+                probe_list += [(k, np.asarray(h).reshape(-1))
+                               for (k, h) in left]
+            deltas = self._consume_probes(probe_list)
+            if deltas and self._pending:
+                # frames still in flight were tracked against the
+                # pre-correction world: take everything and compose the
+                # delta (CorrectLoop's mlRelativeFramePoses treatment,
+                # LoopClosing.cc:969+)
+                more, self._pending = self._pending, []
+                more_splits = [self._split_record(r) for r in more]
+                deltas += self._consume_probes(
+                    [p for (_pk, ps) in more_splits for p in ps])
+                recs += more
+                splits += more_splits
+            if not recs:
+                self.timer.stop("pipeline_finalize")
+                return
+            pack_vals = np.concatenate([pk for (pk, _ps) in splits])
             real = np.concatenate([
                 (np.arange(r[3].shape[0]) < r[2]) for r in recs])
             # ONE controller step per batch: the batch's frames all saw the
@@ -1064,17 +1227,20 @@ class Tracker:
         cfg = self.cfg
         kid = self._nkf
         self.map, _ = _insert_kf_and_spawn(
-            self.map, jnp.asarray(R), jnp.asarray(t), jnp.float32(ts),
+            self.map, jnp.asarray(R), jnp.asarray(t),
+            jnp.float32(self._rel_ts(ts)),
             xy0[c], lvl0[c], desc0[c], val0[c], u_r[c], depth[c],
             mp_feat[c], self.cam_params,
             float(cfg.stereo.depth_factor * cfg.stereo.baseline),
             cam_model=cfg.camera.model_id, n_levels=cfg.orb.n_levels,
-            angle=ang0[c], img_w=cfg.camera.width, img_h=cfg.camera.height)
+            angle=ang0[c], img_w=cfg.camera.width, img_h=cfg.camera.height,
+            th_far=self._th_far)
         self._n_kf_host = kid + 1
         self.last_kf_frame = fid
         self.last_kf_id = kid
         self.ref_kf_matches = max(n_inl, 1)
         self.stats["n_kf"] += 1
+        self._kf_wall[kid] = _perf()
         if kid % 8 == 0:
             self._probe_mp_pressure()
         if self._map_queue is not None:
@@ -1088,7 +1254,7 @@ class Tracker:
         """Flush in-flight pipelined frames before any synchronous logic."""
         if self._img_buf:
             self._dispatch_chunk(pad_to_full=True)
-        if self._pending or self._probe_pending:
+        if self._pending or self._probe_unfetched:
             self._finalize_pending()
         self._chain = None
 
@@ -1122,12 +1288,13 @@ class Tracker:
         # at initialization every positive-depth feature becomes a landmark
         # (StereoInitialization, Tracking.cc:2391: all z>0 points)
         self.map, kf_id = _insert_kf_and_spawn(
-            self.map, R, t, jnp.float32(ts), feats.xy[0], feats.level[0],
+            self.map, R, t, jnp.float32(self._rel_ts(ts)), feats.xy[0],
+            feats.level[0],
             feats.desc[0], feats.valid[0], u_r, depth, mp_feat0,
             self.cam_params, 1e9,
             cam_model=cfg.camera.model_id, n_levels=cfg.orb.n_levels,
             angle=feats.angle[0], img_w=cfg.camera.width,
-            img_h=cfg.camera.height)
+            img_h=cfg.camera.height, th_far=self._th_far)
         self._post_init(kf_id, int(self.map.n_mp), ts, feats)
         return {"state": OK, "n_inliers": int(self.map.n_mp), "init": True}
 
@@ -1136,8 +1303,8 @@ class Tracker:
         if n_feat < 100:
             self._init_frame = None
             return {"state": self.state, "n_inliers": 0}
-        cur = (jnp.float32(ts), feats.xy[0], feats.level[0], feats.desc[0],
-               feats.valid[0], feats.angle[0])
+        cur = (jnp.float32(self._rel_ts(ts)), feats.xy[0], feats.level[0],
+               feats.desc[0], feats.valid[0], feats.angle[0])
         if self._init_frame is None:
             self._init_frame = cur
             # mvbPrevMatched (Tracking.cc:2519): the window-search anchor
@@ -1175,7 +1342,8 @@ class Tracker:
             return {"state": self.state, "n_inliers": 0}
 
         self.map, kf1, R, t = _mono_init_map(
-            self.map, ts0, jnp.float32(ts), xy0, lvl0, desc0, fv0, ang0,
+            self.map, ts0, jnp.float32(self._rel_ts(ts)), xy0, lvl0, desc0,
+            fv0, ang0,
             feats.xy[0], feats.level[0], feats.desc[0], feats.valid[0],
             feats.angle[0], idx, out["tri_ok"] & ok, out["R"], out["t"],
             out["p3d"], self.cam_params, cam_model=cfg.camera.model_id,
@@ -1233,15 +1401,24 @@ class Tracker:
         R_last, t_last = self.pose
         R0, t0, v_pred = self._predict_pose()
 
-        R, t, mp_feat, inl, n_inl, visible, obs = _track_two_stage(
-            self.map, R0, t0, feats.xy[0], feats.level[0], feats.desc[0],
-            feats.valid[0], u_r, depth, self.cam_params, float(cfg.bf),
-            float(cfg.tracker.match_radius_coarse),
-            float(cfg.tracker.match_radius_fine),
-            cam_model=cfg.camera.model_id, img_w=cfg.camera.width,
-            img_h=cfg.camera.height, n_levels=cfg.orb.n_levels,
-            pose_rounds=cfg.tracker.pose_rounds,
-            pose_iters=cfg.tracker.pose_iters)
+        # previous frame's bindings drive TrackWithMotionModel's stage-1
+        # restriction and the local-map mask (None right after init/reloc:
+        # both stages then search the whole map once to seed the chain)
+        prev = self._prev_feat_mp if cfg.tracker.local_map_tracking else None
+        prev_ang = self._prev_feat_angle if prev is not None else None
+        R, t, mp_feat, inl, n_inl, visible, obs, feat_mp_out = \
+            _track_two_stage(
+                self.map, R0, t0, feats.xy[0], feats.level[0], feats.desc[0],
+                feats.valid[0], u_r, depth, self.cam_params, float(cfg.bf),
+                float(cfg.tracker.match_radius_coarse),
+                float(cfg.tracker.match_radius_fine),
+                cam_model=cfg.camera.model_id, img_w=cfg.camera.width,
+                img_h=cfg.camera.height, n_levels=cfg.orb.n_levels,
+                pose_rounds=cfg.tracker.pose_rounds,
+                pose_iters=cfg.tracker.pose_iters,
+                prev_mp=prev, prev_angle=prev_ang,
+                feat_angle=feats.angle[0] if prev is not None else None,
+                local_only=bool(cfg.tracker.local_map_tracking))
         n_inliers = int(n_inl)
         self.map = _update_mp_stats(self.map, visible, mp_feat >= 0)
 
@@ -1293,7 +1470,8 @@ class Tracker:
                 n_levels=cfg.orb.n_levels)
             if int(n_ref) >= min_inl:
                 Verbose.log(f"[tracker] ref-KF fallback ({int(n_ref)} inliers)")
-                R, t, mp_feat, inl, n_inl, visible, obs = _track_two_stage(
+                (R, t, mp_feat, inl, n_inl, visible, obs,
+                 feat_mp_out) = _track_two_stage(
                     self.map, R_ref, t_ref, feats.xy[0], feats.level[0],
                     feats.desc[0], feats.valid[0], u_r, depth,
                     self.cam_params, float(cfg.bf),
@@ -1305,7 +1483,8 @@ class Tracker:
                     pose_iters=cfg.tracker.pose_iters)
                 n_inliers = int(n_inl)
         if n_inliers < min_inl:
-            return self._handle_loss(feats, ts)
+            return self._handle_loss(feats, ts, u_r=u_r, depth=depth,
+                                     pred_pose=(R0, t0))
 
         if self.state == RECENTLY_LOST:
             Verbose.log(f"[tracker] recovered with {n_inliers} inliers")
@@ -1316,6 +1495,9 @@ class Tracker:
         self.vel = lie.se3_compose(R, t, Ri, ti)
         self.pose = (R, t)
         self.n_inliers_last = n_inliers
+        # bindings feed the next frame's motion-model stage + local map
+        self._prev_feat_mp = feat_mp_out
+        self._prev_feat_angle = feats.angle[0]
         # update inertial anchor every frame when IMU is live
         if self.cfg.use_imu and self.imu_ready:
             bg, ba = self.imu_bias
@@ -1331,9 +1513,13 @@ class Tracker:
         return {"state": OK, "n_inliers": n_inliers, "kf": made_kf}
 
     # -- loss handling (Tracking.cc:2034-2076) ------------------------------
-    def _handle_loss(self, feats: Features, ts: float) -> dict:
+    def _handle_loss(self, feats: Features, ts: float, u_r=None, depth=None,
+                     pred_pose=None) -> dict:
         cfg = self.cfg
         self.stats["track_fail"] += 1
+        # the failed frame's bindings are garbage: the next attempt searches
+        # the whole map (local-map fallback) like the reference's reloc
+        self._prev_feat_mp = None
         if self.state == OK:
             self.state = RECENTLY_LOST
             self.lost_since = ts
@@ -1374,11 +1560,30 @@ class Tracker:
                     self.pose = (R, t)
                     self.vel = (jnp.eye(3, dtype=jnp.float32),
                                 jnp.zeros(3, jnp.float32))
+                    # prior predates the pose discontinuity: drop it
+                    self._inertial_prior = None
                     self.state = OK
                     self.lost_since = None
                     self.stats["n_reloc"] += 1
                     Verbose.log(f"[tracker] relocalized ({n_rel} inliers)")
                     return {"state": OK, "n_inliers": n_rel, "reloc": True}
+        # inertial dead-reckoning while RECENTLY_LOST (Tracking.cc:2042:
+        # PredictStateIMU keeps the published pose alive): the IMU-predicted
+        # pose stands in for the visual one, and — when insertKFsWhenLost is
+        # set (Tracking.cc:2304) — keyframes keep flowing every 0.25 s so the
+        # preintegration chain bridges the visual gap until reloc/merge
+        if (cfg.use_imu and self.imu_ready and self.state == RECENTLY_LOST
+                and pred_pose is not None):
+            self.pose = pred_pose
+            if (cfg.tracker.insert_kfs_when_lost and u_r is not None
+                    and self._kf_times
+                    and ts - self._kf_times[-1] >= 0.25
+                    and self._nkf < self.map.max_kf - 1):
+                mp_none = jnp.full(self.map.max_mp, -1, jnp.int32)
+                with self.timer.stage("keyframe"):
+                    self._create_keyframe(feats, u_r, depth, mp_none, ts, 1)
+                Verbose.log("[tracker] inserted KF while RECENTLY_LOST "
+                            "(insertKFsWhenLost)")
         # timeout -> LOST -> new map (CreateMapInAtlas) if map is big enough
         if self.lost_since is not None and ts - self.lost_since > 5.0:
             if int(self.map.n_kf) > 10:
@@ -1410,6 +1615,11 @@ class Tracker:
         self._kf_preints, self._kf_times = [], []
         self._gap_by_dst, self._prev_note_kf_id = {}, -1
         self._inertial_prior = None
+        self._ts_origin = None
+        self._bad_imu = False
+        self._kf_centers = []
+        self._prev_feat_mp = None
+        self._prev_feat_angle = None
 
     def _spawn_new_map(self):
         """CreateMapInAtlas (Tracking.cc:2720): retire the current map +
@@ -1489,17 +1699,20 @@ class Tracker:
             close_depth = -1.0  # no depth spawning
         bg_, ba_ = self.imu_bias
         self.map, kf_id = _insert_kf_and_spawn(
-            self.map, R, t, jnp.float32(ts), feats.xy[0], feats.level[0],
+            self.map, R, t, jnp.float32(self._rel_ts(ts)), feats.xy[0],
+            feats.level[0],
             feats.desc[0], feats.valid[0], u_r, depth, mp_feat,
             self.cam_params, close_depth, cam_model=cfg.camera.model_id,
             n_levels=cfg.orb.n_levels, v=jnp.asarray(self.frame_state_v),
             bg=jnp.asarray(bg_), ba=jnp.asarray(ba_), angle=feats.angle[0],
-            img_w=cfg.camera.width, img_h=cfg.camera.height)
+            img_w=cfg.camera.width, img_h=cfg.camera.height,
+            th_far=self._th_far)
         self.last_kf_frame = self.frame_id
         self.last_kf_id = int(kf_id)
         self.ref_kf_matches = max(n_inliers, 1)
         self.stats["n_kf"] += 1
         kid = int(kf_id)
+        self._kf_wall[kid] = _perf()
         if kid >= 0:
             self._n_kf_host = kid + 1
         if kid >= 0 and kid % 8 == 0:
@@ -1522,9 +1735,14 @@ class Tracker:
         """Background LocalMapping/LoopClosing thread (LocalMapping::Run /
         LoopClosing::Run poll loops, LocalMapping.cc:64, LoopClosing.cc:90)."""
         import queue as _queue
+        import time as _time
         while not self._mapper_stop:
+            q = self._map_queue   # snapshot: callers may detach the queue
+            if q is None:         # (bench populate) to force inline mapping
+                _time.sleep(0.05)
+                continue
             try:
-                kid = self._map_queue.get(timeout=0.05)
+                kid = q.get(timeout=0.05)
             except _queue.Empty:
                 continue
             try:
@@ -1542,7 +1760,7 @@ class Tracker:
                 Verbose.log(f"[mapper] error on KF {kid}: {e!r}")
             finally:
                 self._in_mapper_thread = False
-                self._map_queue.task_done()
+                q.task_done()
 
     def wait_mapping_idle(self, timeout: float = 60.0):
         """Block until the mapper queue drains (tests / shutdown)."""
@@ -1636,50 +1854,78 @@ class Tracker:
         later in _finalize_pending — the LoopClosing-thread semantics of the
         reference without any device round trip on the keyframe path."""
         cfg = self.cfg
-        if self.place_rec is not None:
-            # BoW computation lives HERE, not at KF creation — the
-            # reference computes it in the mapper thread too
-            # (LocalMapping::ProcessNewKeyFrame -> ComputeBoW,
-            # LocalMapping.cc:243), keeping the tracker free of the
-            # device->host descriptor fetch
-            with self.timer.stage("bow_add"):
-                self.place_rec.add(kid, self.map.kf_desc[kid],
-                                   self.map.kf_feat_valid[kid])
-        with self.timer.stage("local_mapping"):
-            # the WHOLE per-KF chain (cull -> triangulate-all-neighbors ->
-            # fuse both ways -> KF culling) is one executable: one dispatch
-            # round trip while holding the map lock instead of ~7
-            self.map = lm_ops.mapping_step(
-                self.map, jnp.int32(kid), self.cam_params,
-                cam_model=cfg.camera.model_id, img_w=cfg.camera.width,
-                img_h=cfg.camera.height, n_levels=cfg.orb.n_levels,
-                n_tri=cfg.mapping.n_tri_neighbors,
-                n_fuse=cfg.mapping.n_fuse_neighbors,
-                do_cull_kf=bool(cfg.mapping.kf_culling))
-
-        with self.timer.stage("local_ba"):
-            self._run_local_ba(kid)
-
-        if self.place_rec is not None:
-            if self.loop_closer is not None:
+        from .reloc import PlaceRecognition
+        fused = isinstance(self.place_rec, PlaceRecognition)
+        if fused:
+            # BoW add + the whole LocalMapping chain + the loop-candidate
+            # probe as ONE executable (mapper_step_fused): the mapper-thread
+            # turn pays a single GIL-contended dispatch instead of four.
+            # BoW lives HERE, not at KF creation — the reference computes it
+            # on the mapper thread too (ProcessNewKeyFrame -> ComputeBoW,
+            # LocalMapping.cc:304)
+            lc = self.loop_closer
+            want_probe = lc is not None and lc.probe_gates_ok(kid, self._nkf)
+            pr = self.place_rec
+            voc = pr.voc
+            with self.timer.stage("local_mapping"):
+                from ..mapping.loop_closing import mapper_step_fused
+                m2, bow2, act2, probe = mapper_step_fused(
+                    self.map, pr.bow_db, pr.active, voc.centroids, voc.idf,
+                    jnp.int32(kid), self.cam_params, k=voc.k,
+                    depth=voc.depth, cam_model=cfg.camera.model_id,
+                    img_w=cfg.camera.width, img_h=cfg.camera.height,
+                    n_levels=cfg.orb.n_levels,
+                    n_tri=cfg.mapping.n_tri_neighbors,
+                    n_fuse=cfg.mapping.n_fuse_neighbors,
+                    do_cull_kf=bool(cfg.mapping.kf_culling),
+                    with_probe=want_probe, th_far=self._th_far,
+                    prev_cand=jnp.int32(lc.consistent_candidate)
+                    if want_probe else None)
+                self.map = m2
+                pr.bow_db, pr.active = bow2, act2
+            with self.timer.stage("local_ba"):
+                self._run_local_ba(kid)
+            if want_probe:
                 with self.timer.stage("loop_closing"):
                     if lagged_loops:
-                        h = self.loop_closer.dispatch_probe(
-                            self.map, kid, self._nkf)
-                        if h is not None:
-                            self._probe_pending.append(
-                                (kid, self._fetch_pool.submit(np.asarray, h),
-                                 self._burst_no))
+                        # the pack rides the next burst's batched fetch
+                        self._probe_unfetched.append((kid, probe))
                     else:
-                        n_before = self.loop_closer.n_loops
-                        self.map = self.loop_closer.on_keyframe(
-                            self.map, kid, self.cam_params, n_kf=self._nkf)
-                        if self.loop_closer.n_loops > n_before:
-                            self.stats["n_loops"] += 1
-                            if not self._in_mapper_thread:
-                                self.pose = (self.map.kf_R[kid],
-                                             self.map.kf_t[kid])
-                            self._maybe_start_gba()
+                        deltas = self._consume_probes(
+                            [(kid, np.asarray(probe).reshape(-1))])
+                        if deltas and not self._in_mapper_thread:
+                            self.pose = (self.map.kf_R[kid],
+                                         self.map.kf_t[kid])
+        else:
+            if self.place_rec is not None:
+                with self.timer.stage("bow_add"):
+                    self.place_rec.add(kid, self.map.kf_desc[kid],
+                                       self.map.kf_feat_valid[kid])
+            with self.timer.stage("local_mapping"):
+                self.map = lm_ops.mapping_step(
+                    self.map, jnp.int32(kid), self.cam_params,
+                    cam_model=cfg.camera.model_id, img_w=cfg.camera.width,
+                    img_h=cfg.camera.height, n_levels=cfg.orb.n_levels,
+                    n_tri=cfg.mapping.n_tri_neighbors,
+                    n_fuse=cfg.mapping.n_fuse_neighbors,
+                    do_cull_kf=bool(cfg.mapping.kf_culling),
+                    th_far=self._th_far)
+            with self.timer.stage("local_ba"):
+                self._run_local_ba(kid)
+            if self.place_rec is not None and self.loop_closer is not None:
+                with self.timer.stage("loop_closing"):
+                    n_before = self.loop_closer.n_loops
+                    self.map = self.loop_closer.on_keyframe(
+                        self.map, kid, self.cam_params, n_kf=self._nkf)
+                    if self.loop_closer.n_loops > n_before:
+                        self.stats["n_loops"] += 1
+                        self._inertial_prior = None  # pre-correction anchor
+                        if not self._in_mapper_thread:
+                            self.pose = (self.map.kf_R[kid],
+                                         self.map.kf_t[kid])
+                        self._maybe_start_gba()
+
+        if self.place_rec is not None:
 
             # cross-map merge detection (NewDetectCommonRegions merge branch
             # -> MergeLocal): query retired maps' BoW databases
@@ -1691,6 +1937,7 @@ class Tracker:
                         # pre-merge map must not fold back in
                         self._abort_gba_and_join()
                         self.stats["n_map_merges"] += 1
+                        self._inertial_prior = None  # poses moved in merge
                         self._n_kf_host = None
                         self._rebuild_place_rec()
                         # MergeInertialBA (Optimizer.cc:3985): weld the two
@@ -1958,6 +2205,13 @@ class Tracker:
                                                      self._pre_kf)
         self._prev_note_kf_id = self.last_kf_id
         self._kf_times.append(ts)
+        # camera center history for the bad-IMU motion check
+        if self.pose is not None:
+            R_ = np.asarray(self.pose[0], np.float64)
+            t_ = np.asarray(self.pose[1], np.float64)
+            self._kf_centers.append(-R_.T @ t_)
+            del self._kf_centers[:-3]
+            self._check_bad_imu()
         # keyframe boundary: the next frame optimizes against the KF
         # (LastKeyFrame variant), not a frame-chain prior
         self._inertial_prior = None
@@ -1966,6 +2220,26 @@ class Tracker:
         if (not self.imu_ready and len(self._kf_preints) >= 6
                 and self._kf_times[-1] - self._kf_times[0] >= 1.0):
             self._initialize_imu()
+
+    def _check_bad_imu(self):
+        """Bad-IMU guard (LocalMapping.cc:140-147): during the inertial
+        initialization phase (IMU initialized, VIBA2 not yet done), if less
+        than 10 s passed since IMU init AND the last two keyframe gaps moved
+        < 2 cm total, scale/gravity are unobservable — flag the map for an
+        active-map reset ("Not enough motion for initializing. Reseting...").
+        The reset itself happens at the next frame (Tracking.cc:1858)."""
+        if (not self.cfg.use_imu or not self.imu_ready
+                or self._viba_stage >= 2 or self._imu_init_ts is None
+                or len(self._kf_centers) < 3 or not self._kf_times):
+            return
+        t_init = self._kf_times[-1] - self._imu_init_ts
+        c = self._kf_centers
+        dist = (np.linalg.norm(c[-1] - c[-2])
+                + np.linalg.norm(c[-2] - c[-3]))
+        if t_init < 10.0 and dist < 0.02:
+            Verbose.log("[tracker] not enough motion for IMU init - "
+                        "bad-IMU flag set")
+            self._bad_imu = True
 
     def _initialize_imu(self):
         """Gravity/bias/scale estimation over the KF window + map alignment
