@@ -230,10 +230,7 @@ def _warm_cold_graphs(tracker):
     measured window."""
     import jax
     import jax.numpy as jnp
-    from orbslam3lib_tpu.mapping import sim3 as sim3_mod
-    from orbslam3lib_tpu.mapping.loop_closing import (match_kf_landmarks,
-                                                      project_count_sim3,
-                                                      search_by_sim3)
+    from orbslam3lib_tpu.mapping.loop_closing import verify_loop_fused
     from orbslam3lib_tpu.mapping.map_ba import global_bundle_adjust_auto
 
     t0 = time.time()
@@ -244,16 +241,8 @@ def _warm_cold_graphs(tracker):
               img_h=cfg.camera.height, n_levels=cfg.orb.n_levels)
     a, b = jnp.int32(1), jnp.int32(0)
     fix = tracker.loop_closer.fix_scale if tracker.loop_closer else True
-    p_a, p_b, uv_a, uv_b, valid, idx = match_kf_landmarks(m, a, b)
-    R12, t12, s12, inl, _ = sim3_mod.sim3_ransac(p_a, p_b, uv_a, uv_b, valid,
-                                                 cam, fix_scale=fix)
-    for r in (8.0, 5.0):
-        jax.block_until_ready(project_count_sim3(
-            m, a, b, R12, t12, s12, cam, radius=r, **ck))
-    pa2, pb2, ua2, ub2, v2 = search_by_sim3(m, a, b, R12, t12, s12, cam,
-                                            idx, inl & valid, **ck)
-    jax.block_until_ready(sim3_mod.optimize_sim3(
-        R12, t12, s12, pa2, pb2, ua2, ub2, v2, cam, fix_scale=fix))
+    jax.block_until_ready(verify_loop_fused(m, a, b, cam, fix_scale=fix,
+                                            **ck))
     # essential-graph correction (restore the state it mutates)
     lc = tracker.loop_closer
     if lc is not None:

@@ -149,7 +149,11 @@ def _schur_solve(Hcc, Hpp, W, b_c, b_p, free_cam, free_pt, lm_lambda):
     Hcc = Hcc + lm_lambda * Hcc * I6 + 1e-8 * I6
     Hpp = Hpp + lm_lambda * Hpp * I3 + 1e-8 * I3
 
-    Hpp_inv = jnp.linalg.inv(Hpp)  # (P,3,3) batched tiny inverses
+    # closed-form batched 3x3 inverses (utils/smallmat.py): jnp.linalg.inv
+    # on (4096,3,3) costs 4.4 ms on-device vs 1.3 ms arithmetic — this is
+    # inside every LM iteration of every local BA
+    from ..utils.smallmat import inv3
+    Hpp_inv = inv3(Hpp)
 
     # S = Hcc_diag - sum_p W_p Hpp_inv W_p^T   ->  (C,6,C,6)
     WHinv = jnp.einsum("pcia,pab->pcib", W, Hpp_inv)          # (P,C,6,3)

@@ -569,6 +569,57 @@ def mapper_step_fused(m: ms.MapState, bow_db, active, centroids, idf, kf_id,
     return m2, bow_db2, active2, pack
 
 
+@partial(jax.jit, static_argnames=("cam_model", "img_w", "img_h",
+                                   "n_levels", "fix_scale"))
+def verify_loop_fused(m: ms.MapState, kf_id, cand, cam_params,
+                      cam_model: int = 0, img_w: int = 640, img_h: int = 400,
+                      n_levels: int = 8, fix_scale: bool = False):
+    """The ENTIRE geometric loop-verification cascade as one executable
+    with ONE result pack: BoW landmark matching -> Sim3 RANSAC -> coarse
+    neighborhood reprojection -> SearchBySim3 grow -> OptimizeSim3 -> fine
+    reprojection -> inertial pitch/roll decomposition
+    (DetectCommonRegionsFromBoW, LoopClosing.cc:583-800).
+
+    Issued as separate dispatches the host paid ~6 blocking device round
+    trips (~26 ms each on the tunneled backend) per verification, inside
+    the tracker's finalize path; every stage here runs unconditionally and
+    the HOST applies the reference's gate ladder to the fetched pack.
+    Pack layout (24 f32):
+      [0] n_matches  [1] n_inl_ransac  [2] n_proj_coarse
+      [3] n_inl_opt  [4] n_proj_fine   [5:14] R12  [14:17] t12  [17] s12
+      [18:21] phi (so3 log of the implied current-pose correction, for the
+      inertial yaw-only gate)  [21:24] zeros
+    """
+    kf_id = jnp.asarray(kf_id, jnp.int32)
+    cand = jnp.asarray(cand, jnp.int32)
+    p_a, p_b, uv_a, uv_b, valid, idx = match_kf_landmarks(m, kf_id, cand)
+    n_match = jnp.sum(valid.astype(jnp.float32))
+    R12, t12, s12, inl, n_inl = sim3_mod.sim3_ransac(
+        p_a, p_b, uv_a, uv_b, valid, cam_params, fix_scale=fix_scale)
+    ck = dict(cam_model=cam_model, img_w=img_w, img_h=img_h,
+              n_levels=n_levels)
+    n_proj = project_count_sim3(m, kf_id, cand, R12, t12, s12, cam_params,
+                                radius=8.0, **ck)
+    p_a2, p_b2, uv_a2, uv_b2, v2 = search_by_sim3(
+        m, kf_id, cand, R12, t12, s12, cam_params, idx, inl & valid, **ck)
+    R12o, t12o, s12o, inlo, n_inlo = sim3_mod.optimize_sim3(
+        R12, t12, s12, p_a2, p_b2, uv_a2, uv_b2, v2, cam_params,
+        fix_scale=fix_scale)
+    n_proj2 = project_count_sim3(m, kf_id, cand, R12o, t12o, s12o,
+                                 cam_params, radius=5.0, **ck)
+    # implied rotation correction of the current keyframe (inertial gate)
+    Rl, tl = m.kf_R[cand], m.kf_t[cand]
+    Rc_new, _, _ = lie.sim3_compose(R12o, t12o, s12o, Rl, tl,
+                                    jnp.float32(1.0))
+    phi = lie.so3_log(Rc_new @ jnp.swapaxes(m.kf_R[kf_id], -1, -2))
+    return jnp.concatenate([
+        jnp.stack([n_match, n_inl.astype(jnp.float32),
+                   n_proj.astype(jnp.float32), n_inlo.astype(jnp.float32),
+                   n_proj2.astype(jnp.float32)]),
+        R12o.reshape(-1), t12o, s12o.reshape(1), phi,
+        jnp.zeros(3, jnp.float32)])
+
+
 class LoopCloser:
     """Host-side loop-detection state machine + correction driver."""
 
@@ -801,44 +852,36 @@ class LoopCloser:
         proj_th = max(self.PROJ_FLOOR, round(self.PROJ_MATCHES * fs))
         proj_opt_th = max(self.PROJ_OPT_FLOOR,
                           round(self.PROJ_OPT_MATCHES * fs))
-        p_a, p_b, uv_a, uv_b, valid, idx = match_kf_landmarks(
-            m, jnp.int32(kf_id), jnp.int32(cand))
-        if int(jnp.sum(valid)) < self.min_matches:
-            return m
-        R12, t12, s12, inl, n_inl = sim3_mod.sim3_ransac(
-            p_a, p_b, uv_a, uv_b, valid, cam_params, fix_scale=fix_scale)
-        if int(n_inl) < self.RANSAC_INLIERS:
-            return m
-        # coarse neighborhood reprojection gate (th=8, nProjMatches)
-        n_proj = int(project_count_sim3(
-            m, jnp.int32(kf_id), jnp.int32(cand), R12, t12, s12, cam_params,
+        # the whole cascade as ONE executable + ONE fetch (it used to be ~6
+        # blocking round trips serialized against the tracker's frames);
+        # the gate ladder below is unchanged (LoopClosing.cc:583-800)
+        pack = np.asarray(verify_loop_fused(
+            m, jnp.int32(kf_id), jnp.int32(cand), cam_params,
             cam_model=cfg_cam.model_id, img_w=cfg_cam.width,
             img_h=cfg_cam.height, n_levels=self.cfg.orb.n_levels,
-            radius=8.0))
+            fix_scale=fix_scale))
+        n_match, n_inl, n_proj, n_inlo, n_proj2 = (
+            int(pack[0]), int(pack[1]), int(pack[2]), int(pack[3]),
+            int(pack[4]))
+        R12 = jnp.asarray(pack[5:14].reshape(3, 3))
+        t12 = jnp.asarray(pack[14:17])
+        s12 = jnp.float32(pack[17])
+        phi = pack[18:21]
+        if n_match < self.min_matches:
+            return m
+        if n_inl < self.RANSAC_INLIERS:
+            return m
+        # coarse neighborhood reprojection gate (th=8, nProjMatches)
         if n_proj < proj_th:
             Verbose.log(f"[loop] {kf_id}->{cand} rejected: coarse "
                         f"reprojection {n_proj} < {proj_th}")
             self.consistency_count = 0
             return m
-        # grow correspondences through the RANSAC Sim3 before the final
-        # refinement (SearchBySim3, ORBmatcher.cc:1464 / LoopClosing.cc:640)
-        p_a, p_b, uv_a, uv_b, valid = search_by_sim3(
-            m, jnp.int32(kf_id), jnp.int32(cand), R12, t12, s12, cam_params,
-            idx, inl & valid, cam_model=cfg_cam.model_id,
-            img_w=cfg_cam.width, img_h=cfg_cam.height,
-            n_levels=self.cfg.orb.n_levels)
-        R12, t12, s12, inl, n_inl = sim3_mod.optimize_sim3(
-            R12, t12, s12, p_a, p_b, uv_a, uv_b, valid, cam_params,
-            fix_scale=fix_scale)
-        if int(n_inl) < self.min_inliers:
+        # OptimizeSim3 inliers after the SearchBySim3 grow
+        if n_inlo < self.min_inliers:
             return m
         # fine neighborhood reprojection through the OPTIMIZED Sim3 (th=5,
         # nProjOptMatches — LoopClosing.cc:791)
-        n_proj2 = int(project_count_sim3(
-            m, jnp.int32(kf_id), jnp.int32(cand), R12, t12, s12, cam_params,
-            cam_model=cfg_cam.model_id, img_w=cfg_cam.width,
-            img_h=cfg_cam.height, n_levels=self.cfg.orb.n_levels,
-            radius=5.0))
         if n_proj2 < proj_opt_th:
             Verbose.log(f"[loop] {kf_id}->{cand} rejected: fine "
                         f"reprojection {n_proj2} < {proj_opt_th}")
@@ -854,11 +897,6 @@ class LoopCloser:
                 Verbose.log(f"[loop] inertial scale gate rejected s={float(s12):.3f}")
                 self.consistency_count = 0
                 return m
-            Rl, tl = m.kf_R[cand], m.kf_t[cand]
-            Rc_new, _, _ = lie.sim3_compose(
-                R12, t12, s12, Rl, tl, jnp.float32(1.0))
-            dR = Rc_new @ jnp.swapaxes(m.kf_R[kf_id], -1, -2)
-            phi = np.asarray(lie.so3_log(dR))
             # pitch/roll (x, z — yaw is about the gravity axis y) < 0.008
             if abs(float(phi[0])) > 0.008 or abs(float(phi[2])) > 0.008:
                 Verbose.log(f"[loop] inertial yaw-only gate rejected "
@@ -868,7 +906,7 @@ class LoopCloser:
 
         Verbose.log(f"[loop] correcting {kf_id}->{cand}: score "
                     f"{float(scores[0]):.3f} (minScore {min_score:.3f}), "
-                    f"{int(n_inl)} sim3 inliers, s={float(s12):.3f}")
+                    f"{n_inlo} sim3 inliers, s={float(s12):.3f}")
         m = self.correct(m, kf_id, cand, (R12, t12, s12))
         self.last_loop_kf = kf_id
         self.consistency_count = 0

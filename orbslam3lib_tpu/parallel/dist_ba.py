@@ -37,6 +37,7 @@ from jax import shard_map
 
 from ..mapping.local_ba import BAProblem, _edge_terms, _schur_solve
 from ..utils import lie
+from ..utils.smallmat import inv3
 from ..utils.robust import CHI2_MONO, CHI2_STEREO, DELTA_MONO, DELTA_STEREO, huber_weight
 
 
@@ -191,7 +192,7 @@ def dist_bundle_adjust(prob: BAProblem, cam_params, mesh: Mesh,
             Hpp = Hpp + lm_lambda * Hpp * I3 + 1e-8 * I3
             W = W * free_cam_g[None, :, None, None] * free_pt[:, None, None, None]
             b_p = b_p * free_pt[:, None]
-            Hpp_inv = jnp.linalg.inv(Hpp)
+            Hpp_inv = inv3(Hpp)  # closed-form batch inverse (smallmat.py)
 
             WHinv = jnp.einsum("pcia,pab->pcib", W, Hpp_inv)
             S_loc = -jnp.einsum("pcia,pdja->cidj", WHinv, W)

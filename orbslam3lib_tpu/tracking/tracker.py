@@ -1164,17 +1164,20 @@ class Tracker:
             self.stats["track_fail"] += 1
             self.state = RECENTLY_LOST
             self.lost_since = ts
-            self.vel = (jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32))
+            self.vel = (np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
             self._chain = None
             self._img_buf = []
             Verbose.log(f"[tracker] lost in pipelined burst ({n_inl} inliers)")
             return False
-        self.pose = (jnp.asarray(R), jnp.asarray(t))
+        # keep pose/vel host-side here: this runs once per consumed frame
+        # and the values are only re-uploaded at a chain re-seed — four
+        # per-frame device_puts through the tunnel bought nothing
+        self.pose = (R, t)
         if prev_pose is not None:
             Rp, tp = prev_pose
             Rv = R @ Rp.T
-            self.vel = (jnp.asarray(Rv.astype(np.float32)),
-                        jnp.asarray((t - Rv @ tp).astype(np.float32)))
+            self.vel = (Rv.astype(np.float32),
+                        (t - Rv @ tp).astype(np.float32))
         self.trajectory.append((ts, R, t))
         self.n_inliers_last = n_inl
         if self._need_new_keyframe_scalars(n_inl, n_close_t, n_close_u, fid):
@@ -1869,6 +1872,13 @@ class Tracker:
             voc = pr.voc
             with self.timer.stage("local_mapping"):
                 from ..mapping.loop_closing import mapper_step_fused
+                # with_probe stays True whenever a loop closer exists, even
+                # when the host gates reject this keyframe (probe discarded
+                # below): toggling the static arg would lazily compile a
+                # second full mapper executable the first time a gate fails
+                # mid-run — measured as a multi-second stall inside a bench
+                # window. The probe adds ~4 ms device time; a second
+                # program costs a ~15 s compile + HBM for its copy.
                 m2, bow2, act2, probe = mapper_step_fused(
                     self.map, pr.bow_db, pr.active, voc.centroids, voc.idf,
                     jnp.int32(kid), self.cam_params, k=voc.k,
@@ -1878,13 +1888,22 @@ class Tracker:
                     n_tri=cfg.mapping.n_tri_neighbors,
                     n_fuse=cfg.mapping.n_fuse_neighbors,
                     do_cull_kf=bool(cfg.mapping.kf_culling),
-                    with_probe=want_probe, th_far=self._th_far,
-                    prev_cand=jnp.int32(lc.consistent_candidate)
-                    if want_probe else None)
+                    with_probe=lc is not None, th_far=self._th_far,
+                    prev_cand=jnp.int32(lc.consistent_candidate
+                                        if lc is not None else -1))
                 self.map = m2
                 pr.bow_db, pr.active = bow2, act2
-            with self.timer.stage("local_ba"):
-                self._run_local_ba(kid)
+            # local BA only when no further keyframe is already queued
+            # (LocalMapping.cc:151-158 runs LBA strictly under
+            # !CheckNewKeyFrames(): under backlog the reference defers
+            # optimization to the newest keyframe, which supersedes this
+            # window anyway) — on the shared device stream this keeps a
+            # burst of keyframes from queuing N*25 ms of BA behind the
+            # tracker's frame chunks
+            q = self._map_queue
+            if q is None or q.unfinished_tasks <= 1:
+                with self.timer.stage("local_ba"):
+                    self._run_local_ba(kid)
             if want_probe:
                 with self.timer.stage("loop_closing"):
                     if lagged_loops:
@@ -1910,8 +1929,10 @@ class Tracker:
                     n_fuse=cfg.mapping.n_fuse_neighbors,
                     do_cull_kf=bool(cfg.mapping.kf_culling),
                     th_far=self._th_far)
-            with self.timer.stage("local_ba"):
-                self._run_local_ba(kid)
+            q = self._map_queue  # LBA only when idle (LocalMapping.cc:151)
+            if q is None or q.unfinished_tasks <= 1:
+                with self.timer.stage("local_ba"):
+                    self._run_local_ba(kid)
             if self.place_rec is not None and self.loop_closer is not None:
                 with self.timer.stage("loop_closing"):
                     n_before = self.loop_closer.n_loops

@@ -267,10 +267,14 @@ def triangulate_dlt(ray1: jnp.ndarray, ray2: jnp.ndarray, T1: jnp.ndarray, T2: j
     """DLT triangulation from two normalized rays and two 3x4 world->cam
     projection matrices. Batched over leading dims. Returns world points.
 
-    Solves A x = 0 with A the standard cross-product rows; uses the
-    eigenvector of A^T A for the smallest eigenvalue via closed 4x4 SVD
-    (jnp.linalg.svd is fine on TPU at these sizes when batched).
+    Solves A x = 0 with A the standard cross-product rows, taking the
+    eigenvector of A^T A for the smallest eigenvalue — same estimator as
+    the reference's SVD DLT (GeometricTools::Triangulate), but computed
+    with the closed-form adjugate kernel (utils/smallmat.py): batched 4x4
+    SVD lowers to an iterative routine that costs ~21 ms on (4096,4,4)
+    on-device vs ~1 ms for the arithmetic path.
     """
+    from .smallmat import smallest_eigvec4_psd
     x1, y1 = ray1[..., 0] / ray1[..., 2], ray1[..., 1] / ray1[..., 2]
     x2, y2 = ray2[..., 0] / ray2[..., 2], ray2[..., 1] / ray2[..., 2]
     A0 = x1[..., None] * T1[..., 2, :] - T1[..., 0, :]
@@ -278,8 +282,8 @@ def triangulate_dlt(ray1: jnp.ndarray, ray2: jnp.ndarray, T1: jnp.ndarray, T2: j
     A2 = x2[..., None] * T2[..., 2, :] - T2[..., 0, :]
     A3 = y2[..., None] * T2[..., 2, :] - T2[..., 1, :]
     A = jnp.stack([A0, A1, A2, A3], axis=-2)  # (...,4,4)
-    _, _, vt = jnp.linalg.svd(A)
-    X = vt[..., 3, :]
+    M = jnp.einsum("...ki,...kj->...ij", A, A)
+    X = smallest_eigvec4_psd(M)
     w = X[..., 3]
     w = jnp.where(jnp.abs(w) < _EPS, _EPS, w)
     return X[..., :3] / w[..., None]
@@ -297,17 +301,31 @@ def triangulate_two_view(ray1, ray2, R12, t12):
     r2w = r2w / jnp.linalg.norm(r2w, axis=-1, keepdims=True)
     cos_parallax = jnp.sum(r1 * r2w, axis=-1)
 
-    # cam1 is identity; cam2 projection is [R21 | t21]
+    # closed-form MIDPOINT triangulation: depths (s, t) along the two unit
+    # rays from the 2x2 Gram system, point = midpoint of the closest
+    # approach. Chosen over DLT deliberately: the mapper triangulates
+    # small-parallax pairs (neighbor keyframes cm apart, points meters
+    # away), where an A^T A eigen-solve conditions as sin^4(theta) and
+    # drowns in f32 — the Gram solve conditions as sin^2(theta) and a
+    # batched 4x4 SVD costs ~21 ms on-device (see utils/smallmat.py).
+    # Accuracy vs the f64 SVD oracle is asserted in
+    # tests/test_smallmat.py::test_triangulate_small_parallax.
+    b = t12
+    r1b = jnp.sum(r1 * b, axis=-1)
+    r2b = jnp.sum(r2w * b, axis=-1)
+    # denominator 1 - cos^2 = sin^2(theta), computed as |r1 x r2|^2: the
+    # direct form cancels catastrophically for near-parallel rays (c -> 1),
+    # costing a factor 1/sin(theta) of precision exactly where the mapper
+    # operates; the cross product is built from differences of O(sin)
+    # products and keeps relative error at O(eps/sin)
+    cr = jnp.cross(r1, r2w)
+    den = jnp.maximum(jnp.sum(cr * cr, axis=-1), 1e-12)
+    s = (r1b - cos_parallax * r2b) / den
+    t = (cos_parallax * r1b - r2b) / den
+    p3d = 0.5 * (s[..., None] * r1 + t[..., None] * r2w + b)
+    z1 = p3d[..., 2]
     R21 = jnp.swapaxes(R12, -1, -2)
     t21 = -jnp.einsum("...ij,...j->...i", R21, t12)
-    eye34 = jnp.concatenate(
-        [jnp.eye(3, dtype=ray1.dtype), jnp.zeros((3, 1), dtype=ray1.dtype)], axis=-1
-    )
-    T1 = jnp.broadcast_to(eye34, ray1.shape[:-1] + (3, 4))
-    T2 = jnp.concatenate([R21, t21[..., None]], axis=-1)
-    T2 = jnp.broadcast_to(T2, ray1.shape[:-1] + (3, 4))
-    p3d = triangulate_dlt(ray1, ray2, T1, T2)
-    z1 = p3d[..., 2]
     p3d_c2 = jnp.einsum("...ij,...j->...i", R21, p3d) + t21
     z2 = p3d_c2[..., 2]
     return p3d, cos_parallax, z1, z2
