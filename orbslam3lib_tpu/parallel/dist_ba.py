@@ -199,9 +199,10 @@ def dist_bundle_adjust(prob: BAProblem, cam_params, mesh: Mesh,
             b_schur_loc = b_c - jnp.einsum("pcia,pa->ci", WHinv, b_p)
 
             # === THE collective: reduce the camera system over the mesh ===
-            S = jax.lax.psum(S_loc, axis)
-            b_schur = jax.lax.psum(b_schur_loc, axis)
-            Hcc_sum = jax.lax.psum(Hcc, axis)
+            # one fused psum over the pytree (one collective launch instead
+            # of three; on ICI the three payloads ride one transfer)
+            S, b_schur, Hcc_sum = jax.lax.psum((S_loc, b_schur_loc, Hcc),
+                                               axis)
 
             I6 = jnp.eye(6, dtype=S.dtype)
             fc = free_cam_g[:, None, None]
@@ -210,7 +211,16 @@ def dist_bundle_adjust(prob: BAProblem, cam_params, mesh: Mesh,
             iiC = jnp.arange(C)
             S = S.at[iiC, :, iiC, :].add(Hcc_sum).reshape(C * 6, C * 6)
             b_schur = b_schur * free_cam_g[:, None]
-            dx_c = -jnp.linalg.solve(S, b_schur.reshape(-1)).reshape(C, 6)
+            # reduced solve on shard 0 ONLY, broadcast via a tiny psum: the
+            # (6C)^3 factorization is sequential work every other device
+            # would just duplicate — on a real mesh those devices sit at
+            # the collective barrier either way, and on shared-core CPU
+            # meshes (the test/bench shape) duplication costs real time
+            dx0 = jax.lax.cond(
+                shard == 0,
+                lambda: -jnp.linalg.solve(S, b_schur.reshape(-1)),
+                lambda: jnp.zeros(C * 6, S.dtype))
+            dx_c = jax.lax.psum(dx0, axis).reshape(C, 6)
             dx_c = dx_c * free_cam_g[:, None]
 
             Wt_dxc = jnp.einsum("pcia,ci->pa", W, dx_c)
