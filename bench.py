@@ -151,9 +151,12 @@ def _device_metrics(tracker, imgs):
     C = tracker.chunk
     imgs_dev = jnp.asarray(np.stack([np.asarray(imgs[-1])] * C))
     if tracker._rect_maps is not None:
-        from orbslam3lib_tpu.utils.rectify import remap_bilinear
-        imgs_dev = remap_bilinear(imgs_dev.astype(jnp.float32),
-                                  tracker._rect_maps)
+        from orbslam3lib_tpu.utils.rectify import remap_bilinear_shifts
+        rect = lambda: remap_bilinear_shifts(imgs_dev.astype(jnp.float32),
+                                             tracker._rect_maps,
+                                             *tracker._rect_bounds)
+        out["device_rectify_ms_per_frame"] = round(timed(rect, 12) / C, 3)
+        imgs_dev = rect()
     cam2 = cfg.camera2 or cfg.camera
     R_lr, t_lr = cfg.stereo_extrinsics
     F = cfg.orb.max_kp
@@ -356,9 +359,18 @@ def bench_full_slam(distorted: bool = False):
     tracker._map_queue = queue_save
     n_kf = int(tracker.map.n_kf)
     n_mp = int(tracker.map.n_mp)
-    print(f"[bench] populate: {N_POPULATE} frames -> {n_kf} KFs, {n_mp} MPs, "
+    # n_mp is a high-water SLOT counter (compaction resets it, and the
+    # capacity-pressure compactions land at thread-timing-dependent
+    # moments); live landmark count is the comparable health number
+    n_live = int(np.asarray(tracker.map.mp_valid).sum())
+    print(f"[bench] populate: {N_POPULATE} frames -> {n_kf} KFs, "
+          f"{n_live} live MPs ({n_mp} slots), "
           f"fails {tracker.stats['track_fail']} "
           f"in {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
+    for k, st in sorted(tracker.timer.summary().items(),
+                        key=lambda kv: -kv[1]["mean_ms"] * kv[1]["count"]):
+        print(f"[bench]   populate {k:20s} mean {st['mean_ms']:8.2f} ms "
+              f"n={st['count']}", file=sys.stderr, flush=True)
     cfg.tracker.kf_ref_ratio = kf_ratio
     cfg.tracker.min_frames_between_kf = 3
     cfg.tracker.max_frames_between_kf = 15

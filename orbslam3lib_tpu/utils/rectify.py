@@ -107,6 +107,116 @@ def stereo_rectify(params_l: np.ndarray, params_r: np.ndarray,
                          R_rect=np.stack([Ra, Rb]).astype(np.float32))
 
 
+OOB = -1.0e4   # sentinel source coordinate: always lands outside -> 0
+
+
+def twopass_maps(mp) -> np.ndarray:
+    """Convert a direct 2-D remap map into Catmull-Smith two-pass maps.
+
+    Direct map: out[yo,xo] = img(Y(yo,xo), X(yo,xo)). A naive separable
+    remap (vertical then horizontal resample, each reading its map at the
+    OUTPUT pixel) evaluates Y at column xo instead of the source column —
+    for radtan distortion Y varies by tens of pixels along a row, which is
+    a catastrophic warp error. The two-pass construction fixes the
+    vertical map by inverting X along each row (host-side, once):
+      pass V: imgv[yo, x] = img(Yv(yo, x), x)  with Yv(yo,x) = Y(yo, X^-1(yo, x))
+      pass H: out[yo,xo]  = imgv(yo, X(yo,xo))
+    so the composition samples img at exactly (Y(yo,xo), X(yo,xo)).
+    Requires X monotonic along rows (true for rectification maps).
+
+    Returns a map with the same (..., H, W, 2) layout: [..., 0] = X (the
+    horizontal pass map), [..., 1] = Yv (the corrected vertical pass map);
+    out-of-image samples are pushed to the OOB sentinel so the shift
+    resampler zeroes them."""
+    m = np.asarray(mp, np.float64)
+    lead = m.shape[:-3]
+    H, W = m.shape[-3], m.shape[-2]
+    m2 = m.reshape((-1, H, W, 2)).copy()
+    xs = np.arange(W, dtype=np.float64)
+    for e in range(m2.shape[0]):
+        X, Y = m2[e, ..., 0], m2[e, ..., 1]
+        inb = (X >= 0) & (X <= W - 1) & (Y >= 0) & (Y <= H - 1)
+        for yo in range(H):
+            Xrow = X[yo]
+            if not np.all(np.diff(Xrow) > 0):
+                raise ValueError("twopass_maps requires X monotonic in x")
+            # xo_inv(x): output column whose source x equals the integer x
+            xo_inv = np.interp(xs, Xrow, xs)
+            m2[e, yo, :, 1] = np.interp(xo_inv, xs, Y[yo])
+        m2[e, ..., 0] = np.where(inb, X, OOB)
+        m2[e, ..., 1] = np.where(
+            (m2[e, ..., 1] >= 0) & (m2[e, ..., 1] <= H - 1),
+            m2[e, ..., 1], OOB)
+    return m2.reshape(lead + (H, W, 2)).astype(np.float32)
+
+
+def remap_bounds(mp) -> tuple:
+    """Static integer displacement bounds (dy_min, dy_max, dx_min, dx_max)
+    of a (two-pass) remap map, computed host-side once at setup. Only
+    in-image samples count — out-of-bounds pixels are weight-zero in the
+    shift resampler, so they must not inflate the shift range."""
+    m = np.asarray(mp)
+    H, W = m.shape[-3], m.shape[-2]
+    x, y = m[..., 0], m[..., 1]
+    okx = (x >= 0) & (x <= W - 1)
+    oky = (y >= 0) & (y <= H - 1)
+    xi = np.clip(np.floor(x), 0, W - 2)
+    yi = np.clip(np.floor(y), 0, H - 2)
+    dy = np.where(oky, yi - np.arange(H)[:, None], 0)
+    dx = np.where(okx, xi - np.arange(W)[None, :], 0)
+    return int(dy.min()), int(dy.max()), int(dx.min()), int(dx.max())
+
+
+@partial(jax.jit, static_argnames=("dy_min", "dy_max", "dx_min", "dx_max"))
+def remap_bilinear_shifts(img: jnp.ndarray, mp: jnp.ndarray,
+                          dy_min: int, dy_max: int,
+                          dx_min: int, dx_max: int) -> jnp.ndarray:
+    """Bilinear remap as two bounded shift-and-accumulate passes (vertical
+    then horizontal) instead of 2-D gathers.
+
+    XLA lowers the generic `img[yi, xi]` gather of remap_bilinear to
+    scalar-unit address math on TPU — measured ~24 ms per 2x400x640 stereo
+    frame, which made on-device rectification the dominant cost of the
+    distorted-input path (~190 ms per 4-frame burst). Rectification maps
+    have BOUNDED smooth displacements, so each axis resample is expressible
+    as sum_k w_k(y,x) * shift(img, k) over the static range from
+    `remap_bounds` — pure vectorized multiply-adds.
+
+    Two-pass resampling evaluates the y-map at the output column rather
+    than the source column (separable approximation); for rectification
+    maps (y-displacement varies by O(px) across the image) the difference
+    vs exact bilinear is sub-grey-level — asserted against the exact
+    oracle in tests/test_rectify.py."""
+    H, W = img.shape[-2], img.shape[-1]
+    mp = jnp.broadcast_to(mp, img.shape[:-2] + (H, W, 2))
+    x = mp[..., 0]
+    y = mp[..., 1]
+    # per-pass validity BEFORE the index clip: clipped out-of-range (or
+    # OOB-sentinel) coordinates would otherwise produce in-range integer
+    # displacements and sample real pixels
+    vy = ((y >= 0) & (y <= H - 1)).astype(img.dtype)
+    vx = ((x >= 0) & (x <= W - 1)).astype(img.dtype)
+    y0 = jnp.floor(y)
+    fy = (y - y0).astype(img.dtype)
+    yi = jnp.clip(y0.astype(jnp.int32), 0, H - 2)
+    d_y = yi - jax.lax.broadcasted_iota(jnp.int32, yi.shape, yi.ndim - 2)
+    acc = jnp.zeros_like(img)
+    for k in range(dy_min, dy_max + 2):
+        w = jnp.where(d_y == k, 1.0 - fy, 0.0) + \
+            jnp.where(d_y == k - 1, fy, 0.0)
+        acc = acc + (w * vy) * jnp.roll(img, -k, axis=-2)
+    x0 = jnp.floor(x)
+    fx = (x - x0).astype(img.dtype)
+    xi = jnp.clip(x0.astype(jnp.int32), 0, W - 2)
+    d_x = xi - jax.lax.broadcasted_iota(jnp.int32, xi.shape, xi.ndim - 1)
+    out = jnp.zeros_like(img)
+    for k in range(dx_min, dx_max + 2):
+        w = jnp.where(d_x == k, 1.0 - fx, 0.0) + \
+            jnp.where(d_x == k - 1, fx, 0.0)
+        out = out + (w * vx) * jnp.roll(acc, -k, axis=-1)
+    return out
+
+
 @jax.jit
 def remap_bilinear(img: jnp.ndarray, mp: jnp.ndarray) -> jnp.ndarray:
     """Bilinear remap: out[y, x] = img(mp[y, x, 1], mp[y, x, 0]).

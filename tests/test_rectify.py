@@ -167,3 +167,56 @@ class TestRectifiedTrackerE2E:
         gt = c_l[-len(centers):]
         err = np.linalg.norm(c_w_est - gt, axis=1)
         assert err.mean() < 0.05, err.mean()
+
+
+class TestRemapShifts:
+    """The shift-accumulate two-pass remap (the TPU fast path) against the
+    exact gather-based bilinear oracle on real rectification maps."""
+
+    def test_matches_exact_on_rectify_maps(self):
+        import numpy as np
+        from orbslam3lib_tpu.utils.rectify import (remap_bilinear,
+                                                   remap_bilinear_shifts,
+                                                   remap_bounds,
+                                                   twopass_maps)
+        W, H = 160, 100
+        params = np.array([80.0, 80.0, 80.0, 50.0,
+                           -0.2834, 0.0739, 0.0002, 0.0, 0.0], np.float32)
+        R = np.eye(3, dtype=np.float32)
+        t = np.array([0.1, 0.0, 0.0], np.float32)
+        rr = stereo_rectify(params, params, 1, 1, R, t, W, H)
+        mp2 = twopass_maps(rr.maps)
+        b = remap_bounds(mp2)
+        rng = np.random.default_rng(0)
+        # smooth image: two-pass vs direct bilinear are both valid filters;
+        # they agree tightly away from high-frequency content
+        base = rng.uniform(0, 255, (2, H // 10, W // 10)).astype(np.float32)
+        img = np.kron(base, np.ones((10, 10), np.float32))
+        from scipy.ndimage import gaussian_filter
+        img = gaussian_filter(img, sigma=(0, 2, 2)).astype(np.float32)
+        exact = np.asarray(remap_bilinear(jnp.asarray(img),
+                                          jnp.asarray(rr.maps)))
+        fast = np.asarray(remap_bilinear_shifts(jnp.asarray(img),
+                                                jnp.asarray(mp2), *b))
+        nz = exact > 1e-3
+        diff = np.abs(exact - fast)[nz]
+        assert diff.mean() < 1.0, diff.mean()
+        assert np.quantile(diff, 0.99) < 5.0
+
+    def test_identity_map_is_exact(self):
+        import numpy as np
+        from orbslam3lib_tpu.utils.rectify import (remap_bilinear_shifts,
+                                                   remap_bounds,
+                                                   twopass_maps)
+        H, W = 40, 60
+        u, v = np.meshgrid(np.arange(W, dtype=np.float32),
+                           np.arange(H, dtype=np.float32))
+        mp = np.stack([u, v], axis=-1)[None]
+        mp2 = twopass_maps(mp)
+        b = remap_bounds(mp2)
+        rng = np.random.default_rng(1)
+        img = rng.uniform(0, 255, (1, H, W)).astype(np.float32)
+        out = np.asarray(remap_bilinear_shifts(jnp.asarray(img),
+                                               jnp.asarray(mp2), *b))
+        np.testing.assert_allclose(out[:, : H - 1, : W - 1],
+                                   img[:, : H - 1, : W - 1], atol=1e-3)
