@@ -273,7 +273,8 @@ def cull_mappoints(m: ms.MapState, cur_kf_id) -> ms.MapState:
     # scrub dangling references
     kf_mp = jnp.where(new_valid[jnp.clip(m.kf_mp, 0, m.max_mp - 1)] & (m.kf_mp >= 0),
                       m.kf_mp, -1)
-    return m._replace(mp_valid=new_valid, kf_mp=kf_mp)
+    return m._replace(mp_valid=new_valid, kf_mp=kf_mp,
+                      n_mp=jnp.sum(new_valid.astype(jnp.int32)))
 
 
 @partial(jax.jit, static_argnames=("cam_model", "img_w", "img_h", "n_levels"))
@@ -325,7 +326,9 @@ def fuse_into_keyframe(m: ms.MapState, kf_id, mp_candidates_valid, cam_params,
     kf_mp = m.kf_mp.at[k].set(row2)
     kf_mp = jnp.where(kf_mp >= 0, repl[jnp.clip(kf_mp, 0, m.max_mp - 1)], -1)
     mp_valid = m.mp_valid & (~dead)
-    return m._replace(kf_mp=kf_mp, mp_valid=mp_valid), jnp.sum(add) + jnp.sum(clash)
+    return m._replace(kf_mp=kf_mp, mp_valid=mp_valid,
+                      n_mp=jnp.sum(mp_valid.astype(jnp.int32))), \
+        jnp.sum(add) + jnp.sum(clash)
 
 
 @partial(jax.jit, static_argnames=("cam_model", "img_w", "img_h", "n_levels",

@@ -48,10 +48,12 @@ def transform_map(m: ms.MapState, R12, t12, s12) -> ms.MapState:
 @jax.jit
 def merge_into(dst: ms.MapState, src: ms.MapState) -> ms.MapState:
     """Copy src's valid keyframes + landmarks into dst's free slots (src must
-    already be in dst's world frame via transform_map). Landmark ids are
-    remapped by offset; overflow entries are dropped."""
+    already be in dst's world frame via transform_map). Keyframes append at
+    kf_off (preserving temporal id order, which the essential graph and
+    covisibility windows rely on); landmarks allocate from dst's FREE slot
+    pool (slot-recycling map — see spawn_mappoints). Overflow entries are
+    dropped."""
     kf_off = dst.n_kf
-    mp_off = dst.n_mp
     K, F = src.kf_mp.shape
 
     kf_rank = jnp.cumsum(src.kf_valid.astype(jnp.int32)) - 1
@@ -59,10 +61,17 @@ def merge_into(dst: ms.MapState, src: ms.MapState) -> ms.MapState:
     kf_ok = src.kf_valid & (kf_new < dst.max_kf)
     kf_tgt = jnp.where(kf_ok, kf_new, dst.max_kf)
 
-    mp_rank = jnp.cumsum(src.mp_valid.astype(jnp.int32)) - 1
-    mp_new = jnp.where(src.mp_valid, mp_off + mp_rank, dst.max_mp)
-    mp_ok = src.mp_valid & (mp_new < dst.max_mp)
-    mp_tgt = jnp.where(mp_ok, mp_new, dst.max_mp)
+    free_score = jnp.where(dst.mp_valid, -1.0,
+                           (dst.max_mp - jnp.arange(dst.max_mp)
+                            ).astype(jnp.float32))
+    _, fslots = jax.lax.top_k(free_score, min(src.max_mp, dst.max_mp))
+    fslot_free = ~dst.mp_valid[fslots]
+    mp_rank = jnp.clip(jnp.cumsum(src.mp_valid.astype(jnp.int32)) - 1,
+                       0, fslots.shape[0] - 1)
+    mp_new = fslots[mp_rank]
+    mp_ok = src.mp_valid & fslot_free[mp_rank]
+    mp_new = jnp.where(mp_ok, mp_new, dst.max_mp)
+    mp_tgt = mp_new
 
     # remap src kf_mp landmark ids, then scatter rows
     remap = jnp.full(src.max_mp + 1, -1, jnp.int32).at[
@@ -111,7 +120,8 @@ def merge_into(dst: ms.MapState, src: ms.MapState) -> ms.MapState:
             jnp.where(mp_ok, kf_first_remap, -1), mode="drop"),
         mp_found=sc(dst.mp_found, src.mp_found, mp_tgt, mp_ok),
         mp_visible=sc(dst.mp_visible, src.mp_visible, mp_tgt, mp_ok),
-        n_mp=dst.n_mp + jnp.sum(mp_ok.astype(jnp.int32)),
+        n_mp=jnp.sum(dst.mp_valid.at[mp_tgt].set(
+            mp_ok, mode="drop").astype(jnp.int32)),
     )
     return out
 

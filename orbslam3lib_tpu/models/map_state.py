@@ -176,29 +176,48 @@ def spawn_mappoints(m: MapState, kf_id, p_world, desc, normal, min_dist,
     """Allocate new landmarks for the `want`-masked candidates and bind them
     to keyframe `kf_id` feature slots `feat_slot`.
 
-    All (F,)-shaped. Landmark ids are n_mp + prefix-sum ranks; overflow
-    candidates beyond capacity are dropped. Reference:
+    All (F,)-shaped. Slots are allocated from the FREE pool (lowest invalid
+    index first, one ~40 us top_k) rather than an append-only n_mp pointer:
+    culled/fused-away slots are recycled in place, so a long-running map no
+    longer creeps to capacity and forces a multi-second host-side
+    compaction (rebuild of the BoW database + GBA abort) mid-run. Every
+    invalidation path scrubs its kf_mp references (cull_mappoints,
+    fuse_into_keyframe replace table), so a freed slot is unreferenced by
+    the map when it is reused. `n_mp` is the LIVE landmark count.
+    Candidates beyond the free capacity are dropped. Reference:
     Tracking::CreateNewKeyFrame close-point spawning (Tracking.cc:3277+) and
-    LocalMapping::CreateNewMapPoints insertion.
+    LocalMapping::CreateNewMapPoints insertion (the reference heap-allocates
+    and frees MapPoint objects; a fixed-capacity tensor map recycles slots).
     """
-    ranks = jnp.cumsum(want.astype(jnp.int32)) - 1
-    ids = m.n_mp + ranks
-    ok = want & (ids < m.max_mp)
+    F = want.shape[0]
+    free_score = jnp.where(m.mp_valid, -1.0,
+                           (m.max_mp - jnp.arange(m.max_mp)).astype(jnp.float32))
+    _, slots = jax.lax.top_k(free_score, F)      # lowest free indices first
+    slot_free = ~m.mp_valid[slots]
+    ranks = jnp.clip(jnp.cumsum(want.astype(jnp.int32)) - 1, 0, F - 1)
+    ids = slots[ranks]
+    ok = want & slot_free[ranks]
     ids_c = jnp.where(ok, ids, m.max_mp - 1)  # clamped scatter target
 
     def sc(arr, vals):
         return arr.at[ids_c].set(jnp.where(ok[..., None] if arr.ndim > 1 else ok,
                                            vals, arr[ids_c]))
 
+    new_valid = m.mp_valid.at[ids_c].set(
+        jnp.where(ok, True, m.mp_valid[ids_c]))
     m = m._replace(
         mp_pos=sc(m.mp_pos, p_world),
-        mp_valid=m.mp_valid.at[ids_c].set(jnp.where(ok, True, m.mp_valid[ids_c])),
+        mp_valid=new_valid,
         mp_desc=sc(m.mp_desc, desc),
         mp_normal=sc(m.mp_normal, normal),
         mp_min_dist=m.mp_min_dist.at[ids_c].set(jnp.where(ok, min_dist, m.mp_min_dist[ids_c])),
         mp_max_dist=m.mp_max_dist.at[ids_c].set(jnp.where(ok, max_dist, m.mp_max_dist[ids_c])),
         mp_first_kf=m.mp_first_kf.at[ids_c].set(jnp.where(ok, kf_id, m.mp_first_kf[ids_c])),
-        n_mp=m.n_mp + jnp.sum(ok.astype(jnp.int32)),
+        # recycled slots carry stale statistics: reset to the fresh-landmark
+        # state (MapPoint ctor nFound = nVisible = 1)
+        mp_found=m.mp_found.at[ids_c].set(jnp.where(ok, 1.0, m.mp_found[ids_c])),
+        mp_visible=m.mp_visible.at[ids_c].set(jnp.where(ok, 1.0, m.mp_visible[ids_c])),
+        n_mp=jnp.sum(new_valid.astype(jnp.int32)),
     )
     # bind observations into the keyframe row
     row = m.kf_mp[kf_id]

@@ -16,3 +16,23 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test modules.
+
+    A full-suite run compiles several hundred XLA:CPU programs in one
+    process; past ~85% of the suite the accumulated JIT code memory
+    deterministically crashes the NEXT big compile inside
+    backend_compile_and_load (SIGSEGV/SIGABRT with no Python error —
+    reproduced at the same test across runs, not reproducible for any
+    subset). Dropping the executable caches at module boundaries keeps the
+    in-process code footprint bounded; shared graphs recompile on first
+    use in a later module, which costs ~10-20% suite wall time.
+    """
+    yield
+    jax.clear_caches()

@@ -133,23 +133,24 @@ class TestMapMerge:
         assert int(merged.n_kf) == int(m_a.n_kf) + int(m_b.n_kf)
 
         # map A's landmarks must land at their map-B-frame positions:
-        # p_B = s R_g p_A + t_g. Appended copies start at m_b.n_mp.
-        off = int(m_b.n_mp)
+        # p_B = s R_g p_A + t_g. The slot-recycling allocator places the
+        # copies in dst's free slots (not at a fixed offset), so identify
+        # each copied landmark by its unique descriptor and check its
+        # position is EITHER the original map-B placement or the
+        # transformed map-A placement.
         pos = np.asarray(merged.mp_pos)
         val = np.asarray(merged.mp_valid)
         desc = np.asarray(merged.mp_desc)
-        a_valid = np.asarray(m_a.mp_valid)
-        n_checked = 0
-        expect_all = PTS @ R_g.T * s_g + t_g
-        for j in range(off, off + int(m_a.n_mp)):
-            if not val[j]:
-                continue
-            # identify the world point by its unique descriptor
+        expect_a = PTS @ R_g.T * s_g + t_g   # map A points in B's frame
+        n_from_a = 0
+        for j in np.flatnonzero(val):
             p_idx = int(np.argmin((desc[j][None, :] != DESCS).sum(1)))
-            err = np.linalg.norm(pos[j] - expect_all[p_idx])
-            assert err < 0.05, (j, p_idx, err)
-            n_checked += 1
-        assert n_checked > 100
+            err_a = np.linalg.norm(pos[j] - expect_a[p_idx])
+            err_b = np.linalg.norm(pos[j] - PTS[p_idx])
+            assert min(err_a, err_b) < 0.05, (j, p_idx, err_a, err_b)
+            if err_a < err_b:
+                n_from_a += 1
+        assert n_from_a > 100
         # pre-existing map-B keyframes are untouched
         np.testing.assert_allclose(np.asarray(merged.kf_t[:4]),
                                    np.asarray(m_b.kf_t[:4]), atol=1e-6)
@@ -202,21 +203,24 @@ class TestInertialMapMerge:
             down_true = R_true[:, 1]
             assert np.dot(down_est, down_true) > 0.999, (j, down_est)
 
-        # scale pinned: appended landmarks sit at the yaw+translation image
-        # of their true positions (estimated Sim3 ~ G since G is yaw-only)
-        off = int(m_b.n_mp)
+        # scale pinned: merged-in landmarks sit at the yaw+translation image
+        # of their true positions (estimated Sim3 ~ G since G is yaw-only).
+        # The slot-recycling allocator places copies in free slots, so
+        # identify each landmark by descriptor and accept either the map-B
+        # original or the transformed map-A placement.
         pos = np.asarray(merged.mp_pos)
         val = np.asarray(merged.mp_valid)
         desc = np.asarray(merged.mp_desc)
-        expect_all = PTS @ R_g.T * s_g + t_g
-        n_checked = 0
-        for j in range(off, off + int(m_a.n_mp)):
-            if not val[j]:
-                continue
+        expect_a = PTS @ R_g.T * s_g + t_g
+        n_from_a = 0
+        for j in np.flatnonzero(val):
             p_idx = int(np.argmin((desc[j][None, :] != DESCS).sum(1)))
-            assert np.linalg.norm(pos[j] - expect_all[p_idx]) < 0.08
-            n_checked += 1
-        assert n_checked > 100
+            err_a = np.linalg.norm(pos[j] - expect_a[p_idx])
+            err_b = np.linalg.norm(pos[j] - PTS[p_idx])
+            assert min(err_a, err_b) < 0.08, (j, p_idx, err_a, err_b)
+            if err_a < err_b:
+                n_from_a += 1
+        assert n_from_a > 100
 
         # preintegration registry remapped to merged ids
         lm = merger.last_merge
